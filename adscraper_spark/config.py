@@ -1,0 +1,39 @@
+"""Crawl job configuration — the JobSpec/CrawlerFlags analog.
+
+The reference validates its job spec with JSON Schema at submit and
+worker start (crawl-cluster/cli/src/runIndexedJob.ts:61-72,
+crawler/src/k8s-indexed-job-worker.ts:55-67); we validate a dataclass at
+construction (same gate, Python-native).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class CrawlConfig:
+    name: str = "crawl"
+    # politeness (W2): virtual seconds per scheduling wave; a host with
+    # robots Crawl-delay d gets floor(wave_seconds/d) fetches per wave.
+    wave_seconds: float = 10.0
+    default_budget: int = 4          # hosts with no crawl-delay
+    max_waves: int = 100
+    max_depth: int = 3               # frontier expansion horizon
+    max_urls: int | None = None      # stop admitting after this many
+    salt_fanout: int = 16            # hot-host shard count (scheduler.py)
+    bloom_partitions: int = 8
+    bloom_expected_per_partition: int = 100_000
+    checkpoint_every: int = 1        # waves between durable checkpoints
+    same_host_only: bool = True      # F4 link-admission filter
+    extra: dict = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        if self.wave_seconds <= 0:
+            raise ValueError("wave_seconds must be > 0")
+        if self.default_budget < 1:
+            raise ValueError("default_budget must be >= 1")
+        if self.max_depth < 0 or self.max_waves < 1:
+            raise ValueError("bad horizon")
+        if self.salt_fanout < 1 or self.bloom_partitions < 1:
+            raise ValueError("bad fan-out")

@@ -1,0 +1,476 @@
+"""CrawlEngine — the wave-loop crawl orchestrator.
+
+Reference lifecycle being re-expressed (SURVEY.md §3.1/§3.4): the
+sequential for-loop over a crawl list with persisted progress
+(crawler/src/crawler.ts:295-442) becomes a driver-side loop over
+scheduling WAVES; each wave is one declarative Spark plan:
+
+  pending (admitted ⟕̸ processed, append-only logs — no frontier rewrite)
+    → per-host windowed top-k under politeness budgets   (scheduler.py)
+    → "fetch" = left join against the pages corpus       (J7/S6)
+    → vectorized extraction UDF                          (extraction/)
+    → link candidates → normalize → same-host filter (F4)
+      → robots gate → in-wave dedup → bloom pre-filter
+      → exact anti-join vs admitted log                  (J5/Z3)
+    → one commit: processed+admitted+results+ads+requests appends,
+      bloom segments, wave manifest (the atomic commit point, Z4).
+
+Exactly-once admission: a URL row lands in the ``admitted`` log exactly
+once because candidate admission anti-joins the log inside the same wave
+whose manifest publishes the log append — a crashed wave leaves orphan
+snapshots that resume rolls back (``SnapshotTable.reset_to``), so replay
+is idempotent (reference analog: last_checkpoint_index resume,
+crawler.ts:263-271).
+
+Frontier state is APPEND-ONLY (admitted + processed logs); "pending" is
+an anti-join, never an update-in-place — at 10^10-URL scale this avoids
+rewriting the frontier every wave, and both logs bucket-partition by url
+for a co-partitioned anti-join under Iceberg.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .bloom import BloomStore, partition_for_host
+from .config import CrawlConfig
+from .extraction.udfs import extract_pages
+from .hashing import stable_hash64
+from .robots import disallowed_checker, host_budgets, parse_robots
+from .scheduler import plan_wave
+from .store import SnapshotTable
+from .urlnorm import normalize_url, url_host, url_path
+
+DISCOVERED_SEQ_BASE = 1 << 33  # seeds keep list-index seq below this
+
+ADMITTED_SCHEMA = (
+    "url string, host string, path string, depth int, priority double, "
+    "seq long, src_url string, ad_id long, state_initial string, "
+    "wave_admitted int"
+)
+PROCESSED_SCHEMA = "url string, wave_fetched int, state_final string"
+
+
+def _norm_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = pd.DataFrame({
+            "src_url": pdf["src_url"],
+            "src_host": pdf["src_host"],
+            "depth": pdf["depth"],
+            "link": pdf["link"],
+            "url": [normalize_url(u) for u in pdf["link"]],
+        })
+        out["host"] = [url_host(u) if u else None for u in out["url"]]
+        out["path"] = [url_path(u) if u else "/" for u in out["url"]]
+        yield out
+
+
+class CrawlEngine:
+    def __init__(self, spark: SparkSession, pages_path: str,
+                 robots_path: str | None, workdir: str,
+                 config: CrawlConfig | None = None):
+        self.spark = spark
+        self.config = config or CrawlConfig()
+        self.pages_path = pages_path
+        self.workdir = workdir
+        os.makedirs(workdir, exist_ok=True)
+        self.admitted = SnapshotTable(os.path.join(workdir, "admitted"))
+        self.processed = SnapshotTable(os.path.join(workdir, "processed"))
+        self.results = SnapshotTable(os.path.join(workdir, "results"))
+        self.ads = SnapshotTable(os.path.join(workdir, "ads"))
+        self.requests = SnapshotTable(os.path.join(workdir, "requests"))
+        self.metrics = SnapshotTable(os.path.join(workdir, "metrics"))
+        self.bloom = BloomStore(
+            os.path.join(workdir, "bloom"), self.config.bloom_partitions,
+            self.config.bloom_expected_per_partition)
+        # robots: tiny per-host dimension — driver-parsed, broadcast.
+        self.robots_rows: list[tuple[str, str]] = []
+        if robots_path and os.path.exists(robots_path):
+            rdf = spark.read.parquet(robots_path)
+            self.robots_rows = [
+                (r["host"], r["robots_txt"]) for r in rdf.collect()]
+        self.budgets = host_budgets(
+            self.robots_rows, self.config.wave_seconds,
+            self.config.default_budget)
+        self._tables = {
+            "admitted": self.admitted, "processed": self.processed,
+            "results": self.results, "ads": self.ads,
+            "requests": self.requests, "metrics": self.metrics,
+        }
+
+    # ------------------------------------------------------------------
+    # checkpoint manifest = the commit point (Z4)
+    # ------------------------------------------------------------------
+    def _manifest_path(self, wave: int) -> str:
+        return os.path.join(self.workdir, f"wave-{wave}.json")
+
+    def last_committed_wave(self) -> int:
+        wave = -1
+        for name in os.listdir(self.workdir):
+            if name.startswith("wave-") and name.endswith(".json"):
+                wave = max(wave, int(name[5:-5]))
+        return wave
+
+    def _commit_wave(self, wave: int, stats: dict) -> None:
+        manifest = {
+            "wave": wave,
+            "snapshots": {k: t.current_snapshot_id()
+                          for k, t in self._tables.items()},
+            "stats": stats,
+        }
+        tmp = self._manifest_path(wave) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.rename(tmp, self._manifest_path(wave))
+
+    def _rollback_to_last_commit(self) -> int:
+        wave = self.last_committed_wave()
+        if wave < 0:
+            for t in self._tables.values():
+                t.reset_to(0)
+            return -1
+        with open(self._manifest_path(wave)) as f:
+            manifest = json.load(f)
+        for name, table in self._tables.items():
+            table.reset_to(manifest["snapshots"].get(name, 0))
+        return wave
+
+    # ------------------------------------------------------------------
+    # bootstrap (wave 0 admission = the crawl list, S1/F1/F2)
+    # ------------------------------------------------------------------
+    def bootstrap(self, seeds: list[tuple[int, str]] |
+                  list[tuple[int, str, int | None]]) -> None:
+        """Admit the seed list. seeds = [(seq, url)] or [(seq, url, ad_id)]
+        preserving reference list order (crawler.ts:295)."""
+        if self.last_committed_wave() >= 0:
+            raise RuntimeError(
+                "crawl already bootstrapped — resume with run(), or use a "
+                "fresh workdir (reference analog: crawl-name reuse check, "
+                "crawler.ts:229-283)")
+        check_disallowed = disallowed_checker(self.robots_rows)
+        rows = []
+        for item in seeds:
+            seq, raw = item[0], item[1]
+            ad_id = item[2] if len(item) > 2 else None
+            norm = normalize_url(raw)
+            if norm is None:
+                rows.append((raw, None, None, 0, 0.0, int(seq), None,
+                             ad_id, "invalid", 0))
+                continue
+            host, path = url_host(norm), url_path(norm)
+            state = ("disallowed" if check_disallowed(host, path)
+                     else "pending")
+            rows.append((norm, host, path, 0, 0.0, int(seq), None, ad_id,
+                         state, 0))
+        # seed-list dedup: first occurrence wins (reference Set semantics)
+        seen: set[str] = set()
+        uniq = []
+        for r in rows:
+            if r[0] in seen:
+                continue
+            seen.add(r[0])
+            uniq.append(r)
+        df = self.spark.createDataFrame(uniq, ADMITTED_SCHEMA)
+        self.admitted.append(df)
+        self._update_bloom(0, [(r[1] or "", r[0]) for r in uniq])
+        self._commit_wave(0, {"seeds": len(uniq)})
+
+    # ------------------------------------------------------------------
+    def pending_df(self) -> DataFrame:
+        admitted = self.admitted.read(self.spark)
+        if admitted is None:
+            raise RuntimeError("bootstrap first")
+        pending = admitted.filter(F.col("state_initial") == "pending")
+        processed = self.processed.read(self.spark)
+        if processed is not None:
+            pending = pending.join(
+                processed.select("url"), "url", "left_anti")
+        return pending
+
+    # ------------------------------------------------------------------
+    def _update_bloom(self, wave: int, host_urls: list[tuple[str, str]]
+                      ) -> None:
+        """Driver-light bloom segment update. host_urls rows are already
+        the NEW admissions only (small per wave); grouped per partition.
+
+        At cluster scale this becomes applyInPandas over the partition id
+        writing segments executor-side; in local mode the loop below is
+        the same I/O without a shuffle."""
+        by_part: dict[int, list[str]] = {}
+        for host, url in host_urls:
+            p = partition_for_host(host, self.config.bloom_partitions)
+            by_part.setdefault(p, []).append(url)
+        for p, urls in by_part.items():
+            self.bloom.update_segment(p, wave, urls)
+
+    def _update_bloom_distributed(self, admissions: DataFrame,
+                                  wave: int) -> None:
+        """Per-partition segment update on executors: group admissions by
+        bloom partition; each group task loads its segment, adds its URLs,
+        writes the next wave's file. No URL list ever reaches the driver
+        (the 10^10-scale requirement, SURVEY §7.3)."""
+        bloom_root = self.bloom.root
+        nparts = self.config.bloom_partitions
+        expected = self.config.bloom_expected_per_partition
+
+        def upd(pdf: pd.DataFrame) -> pd.DataFrame:
+            from .bloom import BloomStore
+            store = BloomStore(bloom_root, nparts, expected)
+            p = int(pdf["bpart"].iloc[0])
+            store.update_segment(p, wave, pdf["url"].tolist())
+            return pd.DataFrame({"bpart": [p], "n": [len(pdf)]})
+
+        keyed = admissions.select("url", "host").mapInPandas(
+            lambda it: (pd.DataFrame({
+                "url": pdf["url"],
+                "bpart": [partition_for_host(h or "", nparts)
+                          for h in pdf["host"]]}) for pdf in it),
+            schema="url string, bpart int")
+        keyed.groupBy("bpart").applyInPandas(
+            upd, schema="bpart int, n long").collect()  # tiny: one row/part
+
+    def _bloom_prefilter(self, cand: DataFrame, wave: int) -> DataFrame:
+        """Split candidates into definitely-new (bloom miss → admit without
+        the expensive anti-join) vs maybe-seen (bloom hit → exact
+        anti-join). Correctness does not depend on the bloom (SURVEY §4.2).
+        """
+        bloom_root = self.bloom.root
+        nparts = self.config.bloom_partitions
+        expected = self.config.bloom_expected_per_partition
+
+        def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from .bloom import BloomStore
+            store = BloomStore(bloom_root, nparts, expected)
+            cache: dict[int, object] = {}
+            for pdf in batches:
+                hits = []
+                for host, url in zip(pdf["host"], pdf["url"]):
+                    p = partition_for_host(host or "", nparts)
+                    seg = cache.get(p)
+                    if seg is None:
+                        seg = store.load_segment(p, wave)
+                        cache[p] = seg
+                    hits.append(seg.might_contain(url))
+                out = pdf.copy()
+                out["maybe_seen"] = hits
+                yield out
+
+        schema = T.StructType(cand.schema.fields + [
+            T.StructField("maybe_seen", T.BooleanType())])
+        return cand.mapInPandas(probe, schema=schema)
+
+    # ------------------------------------------------------------------
+    def run_wave(self, wave: int) -> dict:
+        cfg = self.config
+        spark = self.spark
+        pages = spark.read.parquet(self.pages_path).select(
+            "url", "html", "warc_ts", "lang")
+
+        pending = self.pending_df()
+        planned = plan_wave(
+            pending.select("url", "host", "path", "depth", "priority",
+                           "seq", "src_url", "ad_id"),
+            self.budgets, cfg.default_budget, cfg.salt_fanout)
+        planned = planned.cache()
+        n_planned = planned.count()
+        if n_planned == 0:
+            planned.unpersist()
+            return {"planned": 0}
+
+        # ---- fetch = equi-join vs corpus (J7); miss → error row (S6) ----
+        fetched = planned.join(pages, "url", "left").cache()
+        ok = fetched.filter(F.col("html").isNotNull())
+        extracted = extract_pages(ok).cache()
+
+        results_df = (
+            ok.select("url", "host", "depth", "seq", "src_url", "ad_id",
+                      "warc_ts", "lang")
+            .join(extracted.select(
+                "url", "text", "n_ads", "readerable", "readability_score",
+                "rss_urls", "health_related"), "url")
+            .withColumn("wave", F.lit(wave))
+        )
+        ads_df = (
+            extracted.select("url", F.posexplode("ads").alias("ad_index",
+                                                              "ad"))
+            .select("url", "ad_index", "ad.html", "ad.selector",
+                    "ad.platform", "ad.chumbox_parts", "ad.anchor_hrefs",
+                    "ad.iframe_srcs", "ad.script_srcs", "ad.img_srcs")
+            .withColumn("wave", F.lit(wave))
+        )
+        # third-party request log analog (S11/F3): external ad URLs whose
+        # host differs from the page host
+        req_cols = [("anchor_hrefs", "anchor"), ("iframe_srcs", "iframe"),
+                    ("script_srcs", "script"), ("img_srcs", "img")]
+        req_parts = [
+            ads_df.select(
+                F.col("url").alias("initiator"),
+                F.explode(c).alias("target_url"),
+                F.lit(rtype).alias("resource_type"))
+            for c, rtype in req_cols]
+        requests_df = req_parts[0]
+        for p in req_parts[1:]:
+            requests_df = requests_df.unionByName(p)
+        requests_df = (
+            requests_df
+            .withColumn("initiator_host",
+                        F.lower(F.parse_url("initiator", F.lit("HOST"))))
+            .withColumn("target_host",
+                        F.lower(F.parse_url("target_url", F.lit("HOST"))))
+            .filter(F.col("target_host") != F.col("initiator_host"))  # F3
+            .withColumn("wave", F.lit(wave))
+        )
+
+        processed_df = (
+            fetched.select(
+                "url",
+                F.lit(wave).alias("wave_fetched"),
+                F.when(F.col("html").isNotNull(), F.lit("fetched"))
+                 .otherwise(F.lit("error")).alias("state_final"))
+        )
+
+        # ---- frontier expansion: U7 links → admission pipeline ----------
+        admissions_df = None
+        if wave + 1 <= cfg.max_waves and cfg.max_depth > 0:
+            cand = (
+                extracted
+                .join(planned.select("url", "host", "depth"), "url")
+                .filter(F.col("depth") < cfg.max_depth)
+                .select(F.col("url").alias("src_url"),
+                        F.col("host").alias("src_host"),
+                        F.col("depth"),
+                        F.explode("links").alias("link"))
+            )
+            norm_schema = ("src_url string, src_host string, depth int, "
+                           "link string, url string, host string, "
+                           "path string")
+            cand = cand.mapInPandas(_norm_batches, schema=norm_schema)
+            cand = cand.filter(F.col("url").isNotNull())
+            if cfg.same_host_only:  # F4
+                cand = cand.filter(F.col("host") == F.col("src_host"))
+            # in-wave dedup with deterministic lineage: min (depth, src)
+            cand = (
+                cand.groupBy("url", "host", "path")
+                .agg(F.min(F.struct("depth", "src_url")).alias("m"))
+                .select("url", "host", "path",
+                        F.col("m.depth").alias("src_depth"),
+                        F.col("m.src_url").alias("src_url"))
+            )
+            cand = self._bloom_prefilter(cand, wave)
+            fresh = cand.filter(~F.col("maybe_seen")).drop("maybe_seen")
+            maybe = cand.filter(F.col("maybe_seen")).drop("maybe_seen")
+            admitted_urls = self.admitted.read(spark).select("url")
+            confirmed = maybe.join(admitted_urls, "url", "left_anti")
+            new = fresh.unionByName(confirmed)
+
+            check_d = disallowed_checker(self.robots_rows)
+
+            def finish(batches: Iterator[pd.DataFrame]
+                       ) -> Iterator[pd.DataFrame]:
+                for pdf in batches:
+                    out = pd.DataFrame({
+                        "url": pdf["url"],
+                        "host": pdf["host"],
+                        "path": pdf["path"],
+                        "depth": pdf["src_depth"] + 1,
+                        "priority": (pdf["src_depth"] + 1).astype(float),
+                        "seq": [DISCOVERED_SEQ_BASE
+                                + stable_hash64("seq|" + u)
+                                % (1 << 31) for u in pdf["url"]],
+                        "src_url": pdf["src_url"],
+                        "ad_id": pd.Series([None] * len(pdf),
+                                           dtype="object"),
+                        "state_initial": [
+                            "disallowed" if check_d(h, p) else "pending"
+                            for h, p in zip(pdf["host"], pdf["path"])],
+                        "wave_admitted": wave + 1,
+                    })
+                    yield out
+
+            admissions_df = (
+                new.mapInPandas(finish, schema=ADMITTED_SCHEMA).cache())
+            n_admitted = admissions_df.count()
+            if n_admitted == 0:
+                admissions_df.unpersist()
+                admissions_df = None
+
+        # ---- single-wave commit (Z4) ------------------------------------
+        n_fetched = processed_df.filter(
+            F.col("state_final") == "fetched").count()
+        n_errors = n_planned - n_fetched
+        n_disallowed = 0
+        self.processed.append(processed_df)
+        if admissions_df is not None:
+            n_disallowed = admissions_df.filter(
+                F.col("state_initial") == "disallowed").count()
+            self.admitted.append(admissions_df)
+            self._update_bloom_distributed(admissions_df, wave + 1)
+            n_new = admissions_df.count()
+            admissions_df.unpersist()
+        else:
+            n_new = 0
+        self.results.append(results_df)
+        self.ads.append(ads_df)
+        self.requests.append(requests_df)
+        stats = {
+            "planned": n_planned, "fetched": n_fetched, "errors": n_errors,
+            "admitted": n_new,
+            "disallowed": n_disallowed,
+        }
+        metrics_df = spark.createDataFrame(
+            [(wave, stats["planned"], stats["fetched"], stats["errors"],
+              stats["admitted"], stats["disallowed"])],
+            "wave int, planned long, fetched long, errors long, "
+            "admitted long, disallowed long")
+        self.metrics.append(metrics_df)
+        self._commit_wave(wave, stats)
+        planned.unpersist()
+        fetched.unpersist()
+        extracted.unpersist()
+        return stats
+
+    # ------------------------------------------------------------------
+    def run(self, max_waves: int | None = None) -> list[dict]:
+        """Resume-aware drain loop. Returns per-wave stats."""
+        last = self._rollback_to_last_commit()
+        if last < 0:
+            raise RuntimeError("bootstrap() before run()")
+        horizon = max_waves if max_waves is not None else self.config.max_waves
+        out = []
+        wave = last + 1
+        while wave <= horizon:
+            stats = self.run_wave(wave)
+            if stats.get("planned", 0) == 0:
+                break
+            out.append({"wave": wave, **stats})
+            wave += 1
+        return out
+
+    # ------------------------------------------------------------------
+    # result accessors (golden-trace comparisons, SURVEY §5.2.2)
+    # ------------------------------------------------------------------
+    def crawl_order(self) -> list[tuple[str, int]]:
+        """[(url, wave)] in global fetch order: (wave, host, priority,
+        seq) — the parallelism-invariant total order (SURVEY §7.3).
+        Includes error fetches (the reference logs failed navigations in
+        crawl order too, crawler.ts:319-339)."""
+        proc = self.processed.read(self.spark)
+        adm = self.admitted.read(self.spark)
+        if proc is None or adm is None:
+            return []
+        rows = (proc.join(adm.select("url", "host", "priority", "seq"),
+                          "url")
+                .orderBy("wave_fetched", "host", "priority", "seq")
+                .collect())
+        return [(r["url"], r["wave_fetched"]) for r in rows]
+
+    def seen_set(self) -> set[str]:
+        adm = self.admitted.read(self.spark)
+        return {r["url"] for r in adm.select("url").collect()} if adm else set()

@@ -1,0 +1,103 @@
+"""Vendored element-hiding selector subsets + chumbox definitions.
+
+The reference ships full EasyList snapshots (13,967 ad selectors in
+crawler/src/ads/easylist_ad_selectors.json; 17,280 cookie selectors in
+crawler/src/pages/easylist_cookie_general_hide.json), refreshed by
+crawler/updateEasylistSelectors.js. We vendor a pinned representative
+subset with the same shape distribution (~mostly bare #id/.class, some
+compound/attr forms) — the synthetic corpus generator emits markup
+matching these, and the byte-identity invariant is engine-vs-oracle over
+this pinned list, exactly as the reference's behavior is defined by its
+checked-in snapshot. Swapping in a full EasyList snapshot is a data-file
+change, not a code change (`load_extra_selectors`).
+
+Selector strings below are generic EasyList-style community patterns
+(public list conventions), not copied file content.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import lru_cache
+
+from .selectors import SelectorIndex
+
+AD_SELECTORS: list[str] = [
+    # id-anchored (EasyList's dominant shape)
+    "#AdBanner", "#AdContainer", "#AdHeader", "#AdSense1", "#AdTop",
+    "#ad-banner", "#ad-box", "#ad-container", "#ad-footer", "#ad-header",
+    "#ad-leaderboard", "#ad-left", "#ad-right", "#ad-slot", "#ad-top",
+    "#adBlock", "#adFrame", "#adLeaderboard", "#adSidebar", "#adSkyscraper",
+    "#ad_banner", "#ad_bottom", "#ad_box", "#ad_frame", "#ad_top",
+    "#ads-left", "#ads-right", "#adsense", "#adspace", "#adunit",
+    "#banner-ad", "#banner_ad", "#sidebar-ad", "#sponsored-links",
+    "#topAdBanner",
+    # class-anchored
+    ".ad-banner", ".ad-box", ".ad-container", ".ad-footer", ".ad-header",
+    ".ad-leaderboard", ".ad-placeholder", ".ad-sidebar", ".ad-slot",
+    ".ad-unit", ".ad-wrapper", ".adBanner", ".adBox", ".adFrame",
+    ".ad_block", ".ad_box", ".ad_container", ".ad_frame", ".ad_wrapper",
+    ".adsbygoogle", ".advert", ".advertisement", ".advertising",
+    ".banner-ad", ".banner_ad", ".display-ad", ".google-ad",
+    ".sidebar-ad", ".sponsored", ".sponsored-content", ".sponsored-links",
+    ".textad", ".top-ad",
+    # chumbox container classes (chumbox-handler.ts:17-26 platforms)
+    ".adblade-dyna", ".ac_container_wrap", ".my6_widget", ".mgbox",
+    ".ob-widget", ".rc-widget", ".trc_related_container", ".zergnet-widget",
+    # compound / attribute / combinator shapes
+    "div.ad.visible", "a[href^=\"https://ads.\"]",
+    "div[data-ad-slot]", "iframe[src*=\"doubleclick\"]",
+    "div.ad-row > div.ad-cell",
+]
+
+COOKIE_SELECTORS: list[str] = [
+    "#AcceptCookie", "#AcceptCookies", "#CookieBanner", "#CookieConsent",
+    "#CybotCookiebotDialog", "#cookie-bar", "#cookie-banner",
+    "#cookie-consent", "#cookie-law-info-bar", "#cookie-notice",
+    "#cookie-policy", "#cookie-popup", "#cookieAccept", "#cookieBar",
+    "#cookieConsent", "#cookieNotice", "#cookie_banner", "#cookie_consent",
+    "#cookies-banner", "#gdpr-banner", "#gdpr-consent-notice",
+    "#onetrust-banner-sdk", "#privacy-banner",
+    ".cc-banner", ".cc-window", ".cookie-bar", ".cookie-banner",
+    ".cookie-consent", ".cookie-disclaimer", ".cookie-info",
+    ".cookie-message", ".cookie-notice", ".cookie-popup", ".cookie-warning",
+    ".cookiebar", ".cookieconsent", ".cookies-banner", ".gdpr-banner",
+    ".gdpr-notice", ".js-cookie-banner", ".privacy-notice",
+    "div[data-cookie-banner]", "div.cookie.overlay",
+]
+
+# (platform, per-sub-ad link selector, screenshotParentDepth) — semantics of
+# crawler/src/ads/chumbox-handler.ts:16-26.
+CHUMBOX_DEFINITIONS: list[tuple[str, str, int]] = [
+    ("adblade", ".adblade-dyna a.description", 2),
+    ("contentad", ".ac_container", 0),
+    ("feednetwork", ".my6_item", 0),
+    ("mgid", ".mgline", 0),
+    ("outbrain", ".ob-dynamic-rec-container.ob-p", 0),
+    ("revcontent", ".rc-item", 0),
+    ("taboola", ".trc_spotlight_item.syndicatedItem", 0),
+    ("zergnet", ".zergentity", 0),
+]
+
+_EXTRA_ADS_ENV = "ADSCRAPER_SPARK_AD_SELECTORS_JSON"
+_EXTRA_COOKIES_ENV = "ADSCRAPER_SPARK_COOKIE_SELECTORS_JSON"
+
+
+def load_extra_selectors(env_var: str) -> list[str]:
+    path = os.environ.get(env_var)
+    if not path or not os.path.exists(path):
+        return []
+    with open(path) as f:
+        return list(json.load(f))
+
+
+@lru_cache(maxsize=1)
+def ad_selector_index() -> SelectorIndex:
+    return SelectorIndex(AD_SELECTORS + load_extra_selectors(_EXTRA_ADS_ENV))
+
+
+@lru_cache(maxsize=1)
+def cookie_selector_index() -> SelectorIndex:
+    return SelectorIndex(
+        COOKIE_SELECTORS + load_extra_selectors(_EXTRA_COOKIES_ENV))

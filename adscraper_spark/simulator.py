@@ -1,0 +1,124 @@
+"""Sequential reference simulator — ground truth for order/seen-set tests.
+
+Single-threaded, dict-and-list reimplementation of the crawl semantics
+(SURVEY.md §5.2.2): the reference's strict-order loop with persisted
+progress (crawler/src/crawler.ts:295-442) generalized to the wave model
+under the same politeness budgets the engine uses. Shares ``extract_page``,
+``normalize_url`` and the seq-hash with the engine, so any divergence is
+an engine bug, not an oracle mismatch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .config import CrawlConfig
+from .engine import DISCOVERED_SEQ_BASE
+from .extraction.core import extract_page
+from .hashing import stable_hash64
+from .robots import disallowed_checker, host_budgets
+from .urlnorm import normalize_url, url_host, url_path
+
+
+@dataclass
+class SimResult:
+    order: list[tuple[str, int]]            # (url, wave) in fetch order
+    seen: set[str] = field(default_factory=set)
+    states: dict[str, str] = field(default_factory=dict)
+    admitted_from: dict[str, str | None] = field(default_factory=dict)
+
+
+def simulate_crawl(pages: dict[str, bytes],
+                   seeds: list[tuple[int, str]],
+                   robots_rows: list[tuple[str, str]],
+                   config: CrawlConfig) -> SimResult:
+    budgets = host_budgets(robots_rows, config.wave_seconds,
+                           config.default_budget)
+    check_disallowed = disallowed_checker(robots_rows)
+
+    # frontier entry: url -> (host, path, depth, priority, seq, state)
+    frontier: dict[str, dict] = {}
+    admitted_from: dict[str, str | None] = {}
+
+    def admit(url, host, path, depth, seq, state, src):
+        frontier[url] = {"host": host, "path": path, "depth": depth,
+                         "priority": float(depth), "seq": seq,
+                         "state": state}
+        admitted_from[url] = src
+
+    # ---- bootstrap: seed-list order, first occurrence wins --------------
+    for seq, raw in seeds:
+        norm = normalize_url(raw)
+        if norm is None:
+            if raw not in frontier:
+                admit(raw, None, None, 0, int(seq), "invalid", None)
+            continue
+        if norm in frontier:
+            continue
+        host, path = url_host(norm), url_path(norm)
+        state = "disallowed" if check_disallowed(host, path) else "pending"
+        admit(norm, host, path, 0, int(seq), state, None)
+
+    order: list[tuple[str, int]] = []
+    wave = 1
+    while wave <= config.max_waves:
+        pending = [(u, e) for u, e in frontier.items()
+                   if e["state"] == "pending"]
+        if not pending:
+            break
+        # per-host priority queue under budgets (W1/W2)
+        by_host: dict[str, list] = {}
+        for u, e in pending:
+            by_host.setdefault(e["host"], []).append((u, e))
+        planned: list[tuple[str, dict]] = []
+        for host in by_host:
+            q = sorted(by_host[host],
+                       key=lambda t: (t[1]["priority"], t[1]["seq"]))
+            b = budgets.get(host, config.default_budget)
+            planned.extend(q[:b])
+        if not planned:
+            break
+        # global fetch order = (wave, host, priority, seq) — the
+        # parallelism-invariant total order (SURVEY §7.3)
+        planned.sort(key=lambda t: (t[1]["host"], t[1]["priority"],
+                                    t[1]["seq"]))
+        candidates: dict[str, tuple[int, str]] = {}  # url -> (depth, src)
+        cand_meta: dict[str, tuple[str, str]] = {}   # url -> (host, path)
+        for url, e in planned:
+            html = pages.get(url)
+            if html is None:
+                e["state"] = "error"
+                order.append((url, wave))
+                continue
+            e["state"] = "fetched"
+            order.append((url, wave))
+            if e["depth"] >= config.max_depth or wave + 1 > config.max_waves:
+                continue
+            res = extract_page(url, html)
+            for link in res.links:
+                norm = normalize_url(link)
+                if norm is None:
+                    continue
+                host = url_host(norm)
+                if config.same_host_only and host != e["host"]:
+                    continue
+                key = (e["depth"], url)
+                if norm not in candidates or key < candidates[norm]:
+                    candidates[norm] = key
+                    cand_meta[norm] = (host, url_path(norm))
+        for norm, (src_depth, src) in candidates.items():
+            if norm in frontier:
+                continue
+            host, path = cand_meta[norm]
+            state = ("disallowed" if check_disallowed(host, path)
+                     else "pending")
+            seq = DISCOVERED_SEQ_BASE + stable_hash64("seq|" + norm) % (1 << 31)
+            admit(norm, host, path, src_depth + 1, seq, state, src)
+        wave += 1
+
+    return SimResult(
+        order=order,
+        seen=set(frontier.keys()),
+        states={u: e["state"] for u, e in frontier.items()},
+        admitted_from=admitted_from,
+    )

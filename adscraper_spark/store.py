@@ -1,0 +1,154 @@
+"""SnapshotTable — Iceberg-shaped table layer over parquet.
+
+Production target is Apache Iceberg (snapshot-per-wave commits,
+SURVEY.md §1.1/§4); this container has no Iceberg runtime jars and no
+network, so we implement the same commit contract directly:
+
+- a table = directory of immutable parquet data files + numbered
+  manifest JSONs (``snap-N.json`` listing live data files + properties);
+- a commit writes new data files, writes ``snap-(N+1).json``, then
+  atomically publishes it via ``os.rename`` onto ``HEAD`` — readers see
+  the old or the new snapshot, never a torn state;
+- time travel = read any retained snapshot (checkpoint/resume, Z4).
+
+On a real cluster this class is replaced 1:1 by Iceberg catalog calls
+(``writeTo(...).append()`` / snapshot reads); every engine call site goes
+through this interface so the swap is mechanical. The atomic-rename
+publish assumes a POSIX-rename filesystem (local disk here; HDFS/S3+Glue
+would use the Iceberg catalog's own atomic swap).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CommitError(RuntimeError):
+    pass
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    files: list[str]
+    properties: dict
+
+    @property
+    def empty(self) -> bool:
+        return not self.files
+
+
+class SnapshotTable:
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        os.makedirs(os.path.join(path, "meta"), exist_ok=True)
+
+    # -- snapshot plumbing --------------------------------------------------
+    def _head_path(self) -> str:
+        return os.path.join(self.path, "meta", "HEAD")
+
+    def current_snapshot_id(self) -> int:
+        try:
+            with open(self._head_path()) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return 0
+
+    def snapshot(self, snapshot_id: int | None = None) -> Snapshot:
+        sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
+        if sid == 0:
+            return Snapshot(0, [], {})
+        with open(os.path.join(self.path, "meta", f"snap-{sid}.json")) as f:
+            doc = json.load(f)
+        return Snapshot(sid, doc["files"], doc.get("properties", {}))
+
+    def snapshots(self) -> list[int]:
+        out = []
+        for name in os.listdir(os.path.join(self.path, "meta")):
+            if name.startswith("snap-") and name.endswith(".json"):
+                out.append(int(name[5:-5]))
+        return sorted(out)
+
+    def _publish(self, files: list[str], properties: dict,
+                 expected_parent: int) -> int:
+        """Optimistic-concurrency commit: fails if HEAD moved since the
+        caller read it (Iceberg's compare-and-swap semantics)."""
+        new_id = expected_parent + 1
+        meta = os.path.join(self.path, "meta")
+        snap_path = os.path.join(meta, f"snap-{new_id}.json")
+        if os.path.exists(snap_path):
+            raise CommitError(f"snapshot {new_id} already exists")
+        if self.current_snapshot_id() != expected_parent:
+            raise CommitError("concurrent commit detected")
+        with open(snap_path, "w") as f:
+            json.dump({"files": files, "properties": properties}, f)
+        tmp = os.path.join(meta, f".HEAD.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(str(new_id))
+        os.rename(tmp, self._head_path())  # atomic publish
+        return new_id
+
+    # -- data ---------------------------------------------------------------
+    def _write_data(self, df: DataFrame) -> list[str]:
+        part = os.path.join(self.path, "data", uuid.uuid4().hex)
+        df.write.mode("overwrite").parquet(part)
+        return [part]
+
+    def append(self, df: DataFrame, properties: dict | None = None) -> int:
+        snap = self.snapshot()
+        files = self._write_data(df)
+        props = dict(snap.properties)
+        props.update(properties or {})
+        return self._publish(snap.files + files, props, snap.snapshot_id)
+
+    def overwrite(self, df: DataFrame, properties: dict | None = None) -> int:
+        snap = self.snapshot()
+        files = self._write_data(df)
+        return self._publish(files, properties or {}, snap.snapshot_id)
+
+    def commit_multi(self, appends: list[DataFrame] | None = None,
+                     replace_with: DataFrame | None = None,
+                     properties: dict | None = None) -> int:
+        """One atomic snapshot doing several changes (the per-wave
+        'results append + frontier state merge' transaction, SURVEY §4.3).
+        """
+        snap = self.snapshot()
+        files = [] if replace_with is not None else list(snap.files)
+        if replace_with is not None:
+            files.extend(self._write_data(replace_with))
+        for df in appends or []:
+            files.extend(self._write_data(df))
+        props = dict(snap.properties)
+        props.update(properties or {})
+        return self._publish(files, props, snap.snapshot_id)
+
+    def read(self, spark: SparkSession,
+             snapshot_id: int | None = None) -> DataFrame | None:
+        snap = self.snapshot(snapshot_id)
+        if snap.empty:
+            return None
+        return spark.read.parquet(*snap.files)
+
+    def properties(self) -> dict:
+        return self.snapshot().properties
+
+    def reset_to(self, snapshot_id: int) -> None:
+        """Roll HEAD back to a known snapshot (resume path: orphan
+        snapshots from a crashed wave become unreferenced)."""
+        if snapshot_id != 0 and not os.path.exists(
+                os.path.join(self.path, "meta", f"snap-{snapshot_id}.json")):
+            raise CommitError(f"unknown snapshot {snapshot_id}")
+        # clear any snapshots beyond the target so new commits don't collide
+        for sid in self.snapshots():
+            if sid > snapshot_id:
+                os.remove(os.path.join(self.path, "meta", f"snap-{sid}.json"))
+        tmp = os.path.join(self.path, "meta", f".HEAD.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(str(snapshot_id))
+        os.rename(tmp, self._head_path())
