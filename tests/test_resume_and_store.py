@@ -1,0 +1,73 @@
+"""Checkpoint/resume fault injection (Z4) + SnapshotTable commit
+semantics (SURVEY.md §5.2.3)."""
+
+import pytest
+
+from adscraper_spark.config import CrawlConfig
+from adscraper_spark.corpus import CorpusSpec, gen_seeds, write_corpus_parquet
+from adscraper_spark.engine import CrawlEngine
+from adscraper_spark.store import CommitError, SnapshotTable
+
+
+@pytest.fixture(scope="module")
+def small_setup(tmp_path_factory):
+    spec = CorpusSpec(n_pages=120, n_hosts=6, seed=7)
+    out = str(tmp_path_factory.mktemp("smallcorpus"))
+    paths = write_corpus_parquet(spec, out)
+    cfg = CrawlConfig(wave_seconds=10, default_budget=3, max_waves=4,
+                      max_depth=2)
+    seeds = [(i, u) for i, u in enumerate(gen_seeds(spec, n_seeds=6))]
+    return spec, paths, cfg, seeds
+
+
+def test_resume_equals_uninterrupted(spark, small_setup, tmp_path_factory):
+    spec, paths, cfg, seeds = small_setup
+    wa = str(tmp_path_factory.mktemp("wa"))
+    wb = str(tmp_path_factory.mktemp("wb"))
+
+    a = CrawlEngine(spark, paths["pages"], paths["robots"], wa, cfg)
+    a.bootstrap(seeds)
+    a.run()
+
+    b = CrawlEngine(spark, paths["pages"], paths["robots"], wb, cfg)
+    b.bootstrap(seeds)
+    b.run(max_waves=2)  # "crash" after wave 2
+    # torn post-crash write (orphan snapshot) that resume must discard
+    b.results.append(spark.createDataFrame([("torn", 99)],
+                                           "url string, wave int"))
+    b2 = CrawlEngine(spark, paths["pages"], paths["robots"], wb, cfg)
+    b2.run()
+
+    assert a.crawl_order() == b2.crawl_order()
+    assert a.seen_set() == b2.seen_set()
+    assert b2.results.read(spark).filter("url = 'torn'").count() == 0
+
+
+def test_double_bootstrap_rejected(spark, small_setup, tmp_path_factory):
+    spec, paths, cfg, seeds = small_setup
+    w = str(tmp_path_factory.mktemp("wdb"))
+    e = CrawlEngine(spark, paths["pages"], paths["robots"], w, cfg)
+    e.bootstrap(seeds)
+    with pytest.raises(RuntimeError, match="bootstrapped"):
+        e.bootstrap(seeds)
+
+
+def test_snapshot_table_append_and_time_travel(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    assert t.read(spark) is None
+    s1 = t.append(spark.createDataFrame([(1,)], "a int"))
+    s2 = t.append(spark.createDataFrame([(2,)], "a int"))
+    assert sorted(r["a"] for r in t.read(spark).collect()) == [1, 2]
+    assert [r["a"] for r in t.read(spark, s1).collect()] == [1]
+    t.reset_to(s1)
+    assert [r["a"] for r in t.read(spark).collect()] == [1]
+    # after rollback the next commit takes the freed id — no collision
+    s2b = t.append(spark.createDataFrame([(3,)], "a int"))
+    assert s2b == s2
+    assert sorted(r["a"] for r in t.read(spark).collect()) == [1, 3]
+
+
+def test_snapshot_table_rejects_unknown_reset(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t2"))
+    with pytest.raises(CommitError):
+        t.reset_to(5)

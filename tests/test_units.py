@@ -1,0 +1,91 @@
+"""Fast no-Spark units: urlnorm, robots, hashing, bloom, scheduler skew
+properties (hypothesis where it pays)."""
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from adscraper_spark.bloom import BloomSegment, partition_for_host
+from adscraper_spark.hashing import stable_hash64, stable_pick
+from adscraper_spark.robots import parse_robots
+from adscraper_spark.urlnorm import (
+    is_valid_url, normalize_url, resolve, url_host, url_to_path_safe_str,
+)
+
+
+def test_url_validity():
+    assert is_valid_url("https://a.test/x")
+    assert not is_valid_url("not a url at all")
+    assert not is_valid_url("ftp://a.test/x")
+    assert not is_valid_url("")
+
+
+def test_normalize():
+    assert normalize_url("HTTPS://A.Test:443/a//b?q=1#frag") == \
+        "https://a.test/a/b?q=1"
+    assert normalize_url("http://a.test:8080/") == "http://a.test:8080/"
+    assert normalize_url("http://a.test") == "http://a.test/"
+    assert normalize_url("garbage") is None
+
+
+def test_resolve():
+    assert resolve("https://a.test/d/p", "/x") == "https://a.test/x"
+    assert resolve("https://a.test/d/p", "q") == "https://a.test/d/q"
+    assert resolve("https://a.test/", "javascript:void(0)") is None
+    assert resolve("https://a.test/", "#anchor") is None
+    assert resolve("https://a.test/", "https://b.test/y") == "https://b.test/y"
+
+
+def test_path_safe():
+    assert url_to_path_safe_str("https://a.test/x/y?z=1") == "a-test-x-y"
+
+
+def test_robots_parse_and_budget():
+    pol = parse_robots("User-agent: *\nDisallow: /private/\n"
+                       "Allow: /private/ok\nCrawl-delay: 2\n")
+    assert not pol.is_allowed("/private/x")
+    assert pol.is_allowed("/private/ok/page")
+    assert pol.is_allowed("/public")
+    assert pol.budget(10, 4) == 5
+    assert parse_robots(None).budget(10, 4) == 4
+    # only the * group applies
+    pol2 = parse_robots("User-agent: other\nDisallow: /\n"
+                        "User-agent: *\nDisallow: /p/\n")
+    assert pol2.is_allowed("/q") and not pol2.is_allowed("/p/x")
+
+
+@given(st.text(alphabet=string.printable, max_size=50), st.integers(0, 9))
+@settings(max_examples=50, deadline=None)
+def test_stable_hash_deterministic(s, seed):
+    assert stable_hash64(s, seed) == stable_hash64(s, seed)
+    assert 0 <= stable_hash64(s, seed) < (1 << 64)
+
+
+def test_stable_pick_bounds():
+    items = list(range(7))
+    for rnd in range(20):
+        assert 0 <= stable_pick(items, 42, rnd) < 7
+
+
+@given(st.lists(st.text(alphabet=string.ascii_lowercase, min_size=1,
+                        max_size=20), min_size=1, max_size=200, unique=True))
+@settings(max_examples=25, deadline=None)
+def test_bloom_no_false_negatives(urls):
+    seg = BloomSegment.sized_for(len(urls))
+    seg.add_many(urls)
+    assert all(seg.might_contain_many(urls))
+
+
+def test_bloom_persistence_roundtrip(tmp_path):
+    seg = BloomSegment.sized_for(100)
+    seg.add_many(["a", "b", "c"])
+    p = str(tmp_path / "seg.npy")
+    seg.save(p)
+    loaded = BloomSegment.load(p)
+    assert loaded.might_contain("a") and loaded.might_contain("c")
+
+
+def test_bloom_partition_stable():
+    assert partition_for_host("a.test", 8) == partition_for_host("a.test", 8)
+    assert 0 <= partition_for_host("a.test", 8) < 8
