@@ -41,6 +41,8 @@ class CorpusSpec:
     seed: int = 42
     mega_host_weight: float = 8.0   # host-0000 skew multiplier
     private_frac: float = 0.15      # pages under /private/ (robots-disallowed)
+    content_scale: int = 1          # multiplies page body size (bench uses
+                                    # >1 for realistic ~30 KB pages)
     layout_cache: list = field(default_factory=list, repr=False)
 
     def layout(self) -> list[tuple[int, int]]:
@@ -86,7 +88,7 @@ def _paragraphs(spec: CorpusSpec, h: int, j: int) -> str:
     """1-4 <p> blocks; lengths straddle the 140-char readability gate
     (find-page.ts:247-250) so both branches are exercised."""
     k = f"para|{h}|{j}"
-    n_paras = 1 + stable_hash64(k, spec.seed) % 4
+    n_paras = (1 + stable_hash64(k, spec.seed) % 4) * spec.content_scale
     out = []
     for p in range(n_paras):
         u = stable_unit(f"{k}|{p}|len", spec.seed)
@@ -305,7 +307,8 @@ def write_corpus_spark(spark, spec: CorpusSpec, out_dir: str,
         .repartition(partitions, F.col("h"), F.col("j"))
     params = {"n_pages": spec.n_pages, "n_hosts": spec.n_hosts,
               "seed": spec.seed, "mega_host_weight": spec.mega_host_weight,
-              "private_frac": spec.private_frac}
+              "private_frac": spec.private_frac,
+              "content_scale": spec.content_scale}
 
     def gen(batches):
         local = CorpusSpec(**params)

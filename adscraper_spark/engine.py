@@ -86,7 +86,6 @@ class CrawlEngine:
         self.results = SnapshotTable(os.path.join(workdir, "results"))
         self.ads = SnapshotTable(os.path.join(workdir, "ads"))
         self.requests = SnapshotTable(os.path.join(workdir, "requests"))
-        self.metrics = SnapshotTable(os.path.join(workdir, "metrics"))
         self.bloom = BloomStore(
             os.path.join(workdir, "bloom"), self.config.bloom_partitions,
             self.config.bloom_expected_per_partition)
@@ -102,7 +101,7 @@ class CrawlEngine:
         self._tables = {
             "admitted": self.admitted, "processed": self.processed,
             "results": self.results, "ads": self.ads,
-            "requests": self.requests, "metrics": self.metrics,
+            "requests": self.requests,
         }
 
     # ------------------------------------------------------------------
@@ -268,6 +267,17 @@ class CrawlEngine:
 
     # ------------------------------------------------------------------
     def run_wave(self, wave: int) -> dict:
+        import time as _time
+        _debug = bool(os.environ.get("ADSCRAPER_SPARK_TIMING"))
+        _t = [_time.time()]
+
+        def _tick(label: str) -> None:
+            if _debug:
+                now = _time.time()
+                print(f"    [wave {wave}] {label}: {now - _t[0]:.2f}s",
+                      flush=True)
+                _t[0] = now
+
         cfg = self.config
         spark = self.spark
         pages = spark.read.parquet(self.pages_path).select(
@@ -280,14 +290,23 @@ class CrawlEngine:
             self.budgets, cfg.default_budget, cfg.salt_fanout)
         planned = planned.cache()
         n_planned = planned.count()
+        _tick(f"plan ({n_planned})")
         if n_planned == 0:
             planned.unpersist()
             return {"planned": 0}
 
         # ---- fetch = equi-join vs corpus (J7); miss → error row (S6) ----
         fetched = planned.join(pages, "url", "left").cache()
-        ok = fetched.filter(F.col("html").isNotNull())
+        # Extraction is CPU-bound Python-side work: AQE coalesces the join
+        # output by *bytes* (fine for scans, wrong for a 2-5 ms/row UDF
+        # stage), so repartition to full parallelism before the UDF.
+        par = spark.sparkContext.defaultParallelism
+        ok = (fetched.filter(F.col("html").isNotNull())
+              .repartition(par, "url"))
         extracted = extract_pages(ok).cache()
+        if _debug:
+            extracted.count()
+            _tick("fetch+extract")
 
         results_df = (
             ok.select("url", "host", "depth", "seq", "src_url", "ad_id",
@@ -396,40 +415,45 @@ class CrawlEngine:
 
             admissions_df = (
                 new.mapInPandas(finish, schema=ADMITTED_SCHEMA).cache())
-            n_admitted = admissions_df.count()
+            # one job for both admission stats (cache materializes here)
+            adm_counts = {r["state_initial"]: r["count"] for r in
+                          admissions_df.groupBy("state_initial").count()
+                          .collect()}
+            n_admitted = sum(adm_counts.values())
+            n_disallowed = adm_counts.get("disallowed", 0)
+            _tick(f"admission ({n_admitted})")
             if n_admitted == 0:
                 admissions_df.unpersist()
                 admissions_df = None
+        else:
+            n_admitted = n_disallowed = 0
 
         # ---- single-wave commit (Z4) ------------------------------------
         n_fetched = processed_df.filter(
             F.col("state_final") == "fetched").count()
         n_errors = n_planned - n_fetched
-        n_disallowed = 0
+        _tick("processed count")
         self.processed.append(processed_df)
+        _tick("processed append")
         if admissions_df is not None:
-            n_disallowed = admissions_df.filter(
-                F.col("state_initial") == "disallowed").count()
             self.admitted.append(admissions_df)
+            _tick("admitted append")
             self._update_bloom_distributed(admissions_df, wave + 1)
-            n_new = admissions_df.count()
+            _tick("bloom update")
             admissions_df.unpersist()
-        else:
-            n_new = 0
         self.results.append(results_df)
+        _tick("results append")
         self.ads.append(ads_df)
+        _tick("ads append")
         self.requests.append(requests_df)
+        _tick("requests append")
         stats = {
             "planned": n_planned, "fetched": n_fetched, "errors": n_errors,
-            "admitted": n_new,
+            "admitted": n_admitted,
             "disallowed": n_disallowed,
         }
-        metrics_df = spark.createDataFrame(
-            [(wave, stats["planned"], stats["fetched"], stats["errors"],
-              stats["admitted"], stats["disallowed"])],
-            "wave int, planned long, fetched long, errors long, "
-            "admitted long, disallowed long")
-        self.metrics.append(metrics_df)
+        # per-wave lineage metrics live in the wave manifest (no extra
+        # write job); metrics_df() rebuilds a DataFrame from manifests.
         self._commit_wave(wave, stats)
         planned.unpersist()
         fetched.unpersist()
@@ -474,3 +498,21 @@ class CrawlEngine:
     def seen_set(self) -> set[str]:
         adm = self.admitted.read(self.spark)
         return {r["url"] for r in adm.select("url").collect()} if adm else set()
+
+    def metrics_df(self) -> DataFrame:
+        """Per-wave lineage metrics, rebuilt from the wave manifests
+        (the manifests ARE the metrics store — zero extra write jobs)."""
+        rows = []
+        for w in range(self.last_committed_wave() + 1):
+            try:
+                with open(self._manifest_path(w)) as f:
+                    m = json.load(f)
+            except FileNotFoundError:
+                continue
+            s = m.get("stats", {})
+            rows.append((w, s.get("planned", s.get("seeds", 0)),
+                         s.get("fetched", 0), s.get("errors", 0),
+                         s.get("admitted", 0), s.get("disallowed", 0)))
+        return self.spark.createDataFrame(
+            rows, "wave int, planned long, fetched long, errors long, "
+                  "admitted long, disallowed long")

@@ -1,0 +1,319 @@
+"""Deduplication operators over ``documents``: exact, MinHash+LSH,
+SimHash, n-gram Jaccard.
+
+All hashing is md5-hex (identical in Spark and DuckDB), so every
+operator has an exact SQL oracle. Scale notes are on each operator —
+these are the shapes that survive 100 TB: one shuffle per groupBy,
+band-bucket joins instead of all-pairs, candidate verification only on
+bucket collisions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+NUM_MINHASHES = 12
+BANDS = 4           # 4 bands × 3 rows
+ROWS_PER_BAND = NUM_MINHASHES // BANDS
+SHINGLE_WORDS = 3
+JACCARD_THRESHOLD = 0.5
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# exact dedup: hash-groupBy (partial agg map-side; one shuffle on the hash)
+# ---------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    doc = _docs(spark, sf_dir)
+    return (doc.groupBy(F.md5(F.col("text").cast("binary")).alias("text_md5"))
+            .agg(F.count("*").alias("n_copies"),
+                 F.min("doc_id").alias("keep_doc_id"))
+            .orderBy("text_md5"))
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_md5, count(*) AS n_copies,
+       min(doc_id) AS keep_doc_id
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# word-shingles (shared by minhash + jaccard)
+# ---------------------------------------------------------------------------
+
+def _shingles_col():
+    """Array of word 3-gram shingles of ``text`` (JVM-side transform)."""
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    return F.when(n >= SHINGLE_WORDS, F.array_distinct(F.transform(
+        F.sequence(F.lit(0), n - F.lit(SHINGLE_WORDS)),
+        lambda i: F.concat_ws(
+            " ", F.element_at(words, i + 1), F.element_at(words, i + 2),
+            F.element_at(words, i + 3)),
+    ))).otherwise(F.array())
+
+
+_SHINGLES_SQL = f"""
+  SELECT DISTINCT doc_id,
+         array_to_string(words[CAST(i AS INT):CAST(i AS INT)
+                               + {SHINGLE_WORDS - 1}], ' ') AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       (SELECT i FROM (SELECT row_number() OVER () AS i FROM lineitem)
+        WHERE i <= (SELECT max(length(text)) FROM documents)) nums
+  WHERE i <= len(words) - {SHINGLE_WORDS - 1}
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH band-bucket join
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NUM_MINHASHES min-aggregations over salted md5 of shingles —
+    one explode + one groupBy (single shuffle); the signature is exact
+    relational algebra, no UDF."""
+    doc = _docs(spark, sf_dir)
+    sh = (doc.select("doc_id", F.explode(_shingles_col()).alias("sh")))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")).cast("binary")))
+        .alias(f"mh{i}")
+        for i in range(NUM_MINHASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+
+
+def _minhash_sql_core() -> str:
+    aggs = ", ".join(
+        f"min(md5('{i}|' || sh)) AS mh{i}" for i in range(NUM_MINHASHES))
+    return f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sig AS (SELECT doc_id, {aggs} FROM sh GROUP BY doc_id)
+"""
+
+
+MINHASH_SIGNATURES_SQL = (
+    _minhash_sql_core() + "SELECT * FROM sig ORDER BY doc_id")
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs via LSH banding, verified with exact
+    Jaccard. Plan shape: signatures (1 shuffle) → band explode →
+    self-join on band key (shuffle on tiny band-key rows, never on
+    text) → verify only colliding pairs via shingle co-group.
+    At 100 TB the verify join is the expensive part and is proportional
+    to collisions, not to corpus²."""
+    doc = _docs(spark, sf_dir)
+    sig = minhash_signatures(spark, sf_dir)
+    bands = []
+    for b in range(BANDS):
+        cols = [F.col(f"mh{b * ROWS_PER_BAND + r}")
+                for r in range(ROWS_PER_BAND)]
+        bands.append(
+            sig.select("doc_id",
+                       F.lit(b).alias("band"),
+                       F.md5(F.concat_ws("|", *cols).cast("binary"))
+                       .alias("bkey")))
+    banded = bands[0]
+    for bdf in bands[1:]:
+        banded = banded.unionByName(bdf)
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (left.join(right, (F.col("l.band") == F.col("r.band"))
+                      & (F.col("l.bkey") == F.col("r.bkey"))
+                      & (F.col("l.doc_id") < F.col("r.doc_id")))
+            .select(F.col("l.doc_id").alias("doc_a"),
+                    F.col("r.doc_id").alias("doc_b"))
+            .distinct())
+    # exact-Jaccard verification of candidates only
+    sh = doc.select("doc_id", F.explode(_shingles_col()).alias("sh"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"),
+                     F.col("sh").alias("sh_b"))
+    inter = (cand.join(sh_a, "doc_a")
+             .join(sh_b, "doc_b")
+             .filter(F.col("sh") == F.col("sh_b"))
+             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_inter")))
+    na = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_sh").alias("n_b"))
+    return (cand.join(inter, ["doc_a", "doc_b"], "left")
+            .na.fill({"n_inter": 0})
+            .join(na, "doc_a").join(nb, "doc_b")
+            .withColumn("jaccard", F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4))
+            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+            .select("doc_a", "doc_b", "jaccard")
+            .orderBy("doc_a", "doc_b"))
+
+
+def dedup_minhash_lsh_sql() -> str:
+    band_rows = []
+    for b in range(BANDS):
+        cols = " || '|' || ".join(
+            f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band, md5({cols}) AS bkey FROM sig")
+    banded = " UNION ALL ".join(band_rows)
+    return _minhash_sql_core() + f""",
+banded AS ({banded}),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM banded l JOIN banded r
+    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+              JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT c.doc_a AS doc_a, c.doc_b AS doc_b,
+       round(coalesce(i.n_inter, 0) * 1.0
+             / (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)), 4) AS jaccard
+FROM cand c
+LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE round(coalesce(i.n_inter, 0) * 1.0
+            / (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)), 4)
+      >= {JACCARD_THRESHOLD}
+ORDER BY c.doc_a, c.doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash (32-bit variant: bit j = high bit of md5 nibble j, majority vote)
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 32-bit SimHash over whitespace tokens. bit_j = sign of
+    Σ_tokens cnt · (±1 by the high bit of md5-nibble j) — the classic
+    Charikar construction with md5 nibbles as the bit source so the SQL
+    oracle is exact."""
+    doc = _docs(spark, sf_dir)
+    toks = (doc.select("doc_id", F.explode(F.split("text", " "))
+                       .alias("tok"))
+            .groupBy("doc_id", "tok").agg(F.count("*").alias("cnt"))
+            .withColumn("h", F.md5(F.col("tok").cast("binary"))))
+    votes = [
+        F.sum(F.when(F.substring("h", j + 1, 1)
+                     .isin(*list("89abcdef")), F.col("cnt"))
+              .otherwise(-F.col("cnt"))).alias(f"v{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    bits = F.concat(*[
+        F.when(F.col(f"v{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
+        for j in range(SIMHASH_BITS)])
+    return agg.select("doc_id", bits.alias("simhash")).orderBy("doc_id")
+
+
+def simhash_sql() -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN substr(h, {j + 1}, 1) IN "
+        f"('8','9','a','b','c','d','e','f') THEN cnt ELSE -cnt END) AS v{j}"
+        for j in range(SIMHASH_BITS))
+    bits = " || ".join(
+        f"(CASE WHEN v{j} > 0 THEN '1' ELSE '0' END)"
+        for j in range(SIMHASH_BITS))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, tok, count(*) AS cnt, md5(tok) AS h
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents)
+  GROUP BY doc_id, tok
+),
+v AS (SELECT doc_id, {votes} FROM toks GROUP BY doc_id)
+SELECT doc_id, {bits} AS simhash FROM v ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (char trigrams) on a bounded candidate set
+# ---------------------------------------------------------------------------
+
+NGRAM_N = 3
+NGRAM_DOC_LIMIT = 40  # pairwise over a deterministic subset
+
+
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact char-trigram Jaccard over all pairs of the first
+    NGRAM_DOC_LIMIT docs (the all-pairs baseline the LSH path
+    approximates — bounded input by construction)."""
+    doc = _docs(spark, sf_dir).filter(F.col("doc_id") < NGRAM_DOC_LIMIT)
+    grams = F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.length("text") - F.lit(NGRAM_N - 1)),
+        lambda i: F.substring(F.col("text"), i, NGRAM_N)))
+    g = (doc.select("doc_id", F.explode(grams).alias("g")))
+    sizes = g.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ga = g.select(F.col("doc_id").alias("doc_a"), "g")
+    gb = g.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("g_b"))
+    inter = (ga.join(gb, (F.col("g") == F.col("g_b"))
+                     & (F.col("doc_a") < F.col("doc_b")))
+             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_inter")))
+    na = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n").alias("n_b"))
+    return (inter.join(na, "doc_a").join(nb, "doc_b")
+            .withColumn("jaccard", F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4))
+            .filter(F.col("jaccard") >= 0.2)
+            .select("doc_a", "doc_b", "jaccard")
+            .orderBy("doc_a", "doc_b"))
+
+
+def ngram_jaccard_sql() -> str:
+    return f"""
+WITH d AS (SELECT * FROM documents WHERE doc_id < {NGRAM_DOC_LIMIT}),
+g AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), {NGRAM_N}) AS g
+  FROM d,
+       (SELECT i FROM (SELECT row_number() OVER () AS i FROM lineitem)
+        WHERE i <= (SELECT max(length(text)) FROM d)) nums
+  WHERE i <= length(text) - {NGRAM_N - 1}
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       round(i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE round(i.n_inter * 1.0 / (sa.n + sb.n - i.n_inter), 4) >= 0.2
+ORDER BY doc_a, doc_b
+"""
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "minhash_signatures": minhash_signatures,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "simhash": simhash,
+    "ngram_jaccard": ngram_jaccard,
+}
+ORACLES = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "minhash_signatures": MINHASH_SIGNATURES_SQL,
+    "dedup_minhash_lsh": dedup_minhash_lsh_sql(),
+    "simhash": simhash_sql(),
+    "ngram_jaccard": ngram_jaccard_sql(),
+}

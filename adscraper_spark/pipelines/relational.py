@@ -1,0 +1,367 @@
+"""Operator-parity queries over the driver testdata — one per operator
+family in SURVEY.md §2, so the DuckDB correctness gate exercises each
+engine primitive the crawl engine is built from.
+
+URL-shaped data is derived deterministically from doc_id (the crawl
+tables live in the engine's own fixtures; the oracle only sees the
+pre-registered testdata views), with the SAME expression on both sides.
+
+Money aggregates are computed in DECIMAL then rounded and cast to
+DOUBLE so Spark's parallel sum and DuckDB's sequential sum cannot
+diverge in low-order bits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..extraction.core import HEALTH_KEYWORDS
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- flagship: TPC-H Q1-shaped pricing summary (A1/A2 partial+final agg,
+#     predicate pushdown, decimal exactness) --------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    dec = "decimal(18,4)"
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum(F.col("l_quantity").cast(dec)).alias("dq"),
+                 F.sum(F.col("l_extendedprice").cast(dec)).alias("dp"),
+                 F.sum((F.col("l_extendedprice").cast(dec)
+                        * (F.lit(1).cast(dec)
+                           - F.col("l_discount").cast(dec)))
+                       .cast("decimal(28,8)")).alias("ddp"),
+                 F.count("*").alias("count_order"))
+            .select("l_returnflag", "l_linestatus",
+                    F.col("dq").cast("double").alias("sum_qty"),
+                    F.col("dp").cast("double").alias("sum_base_price"),
+                    F.round(F.col("ddp").cast("double"), 2)
+                    .alias("sum_disc_price"),
+                    "count_order")
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+         AS sum_base_price,
+       round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * (CAST(1 AS DECIMAL(18,4))
+                    - CAST(l_discount AS DECIMAL(18,4)))
+                 AS DECIMAL(28,8))) AS DOUBLE), 2) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --- J1-J3: multi-way joins with a broadcastable dimension chain ----------
+
+def j1_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ nation ⋈ region ⋈ orders — small dims broadcast, fact
+    shuffles once on the join key."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    o = _t(spark, sf_dir, "orders")
+    dec = "decimal(18,4)"
+    return (o.join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name")
+            .agg(F.count("*").alias("n_orders"),
+                 F.sum(F.col("o_totalprice").cast(dec)).alias("d"))
+            .select("r_name", "n_orders",
+                    F.round(F.col("d").cast("double"), 2).alias("revenue"))
+            .orderBy("r_name"))
+
+
+J1_SQL = """
+SELECT r_name, count(*) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+         AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+# --- J5: anti-join (the URL-seen admission primitive) ----------------------
+
+def j5_unseen_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admission-control shape: candidates (customers) anti-joined
+    against a seen set (event user ids) — J5/Z3 primitive."""
+    c = _t(spark, sf_dir, "customer")
+    ev = _t(spark, sf_dir, "events")
+    seen = ev.select(F.col("user_id").alias("c_custkey")).distinct()
+    return (c.join(seen, "c_custkey", "left_anti")
+            .select("c_custkey", "c_name")
+            .orderBy("c_custkey"))
+
+
+J5_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT DISTINCT user_id FROM events)
+ORDER BY c_custkey
+"""
+
+
+# --- W1/W2: the scheduler primitive — per-host windowed top-k --------------
+
+def w1_host_priority_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → synthetic frontier (host = doc_id % 37); rank per host
+    by (priority = n_chars desc, doc_id), budget 3 — the exact window
+    shape of scheduler.plan_wave."""
+    doc = _t(spark, sf_dir, "documents")
+    fr = doc.select(
+        F.concat(F.lit("host-"), (F.col("doc_id") % 37).cast("string"),
+                 F.lit(".test")).alias("host"),
+        F.concat(F.lit("https://host-"),
+                 (F.col("doc_id") % 37).cast("string"),
+                 F.lit(".test/p/"), F.col("doc_id").cast("string"))
+        .alias("url"),
+        F.col("n_chars").alias("priority"),
+        F.col("doc_id"))
+    w = Window.partitionBy("host").orderBy(F.desc("priority"),
+                                           F.asc("doc_id"))
+    return (fr.withColumn("host_rank", F.row_number().over(w))
+            .filter(F.col("host_rank") <= 3)
+            .select("host", "url", "priority",
+                    F.col("host_rank").cast("long").alias("host_rank"))
+            .orderBy("host", "host_rank"))
+
+
+W1_SQL = """
+WITH fr AS (
+  SELECT 'host-' || CAST(doc_id % 37 AS VARCHAR) || '.test' AS host,
+         'https://host-' || CAST(doc_id % 37 AS VARCHAR) || '.test/p/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         n_chars AS priority, doc_id
+  FROM documents
+)
+SELECT host, url, priority,
+       CAST(host_rank AS BIGINT) AS host_rank
+FROM (SELECT *, row_number() OVER (PARTITION BY host
+            ORDER BY priority DESC, doc_id ASC) AS host_rank FROM fr)
+WHERE host_rank <= 3 ORDER BY host, host_rank
+"""
+
+
+# --- F2/X1/X2: URL validity + parsing + path-safe string -------------------
+
+def f2_url_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a seed list with some malformed entries; classify and
+    extract host (crawler.ts:191-200 semantics: invalid → quarantine)."""
+    doc = _t(spark, sf_dir, "documents")
+    url = (F.when(F.col("doc_id") % 50 == 0, F.lit("not a url"))
+           .when(F.col("doc_id") % 50 == 1,
+                 F.concat(F.lit("ftp://host-x.test/p/"),
+                          F.col("doc_id").cast("string")))
+           .otherwise(F.concat(
+               F.lit("https://host-"),
+               (F.col("doc_id") % 37).cast("string"),
+               F.lit(".test/news/p/"), F.col("doc_id").cast("string"))))
+    d = doc.select("doc_id", url.alias("url"))
+    valid = F.col("url").startswith("https://")
+    host = F.regexp_extract("url", r"^https://([^/]+)/", 1)
+    path_safe = F.regexp_replace("url", "[^a-zA-Z0-9]+", "-")
+    return (d.select(
+        "doc_id", "url",
+        valid.alias("is_valid"),
+        F.when(valid, host).otherwise(F.lit(None)).alias("host"),
+        path_safe.alias("path_safe"))
+        .orderBy("doc_id"))
+
+
+F2_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 50 = 0 THEN 'not a url'
+              WHEN doc_id % 50 = 1
+                THEN 'ftp://host-x.test/p/' || CAST(doc_id AS VARCHAR)
+              ELSE 'https://host-' || CAST(doc_id % 37 AS VARCHAR)
+                   || '.test/news/p/' || CAST(doc_id AS VARCHAR)
+         END AS url
+  FROM documents
+)
+SELECT doc_id, url,
+       (url LIKE 'https://%') AS is_valid,
+       CASE WHEN url LIKE 'https://%'
+            THEN regexp_extract(url, '^https://([^/]+)/', 1)
+            ELSE NULL END AS host,
+       regexp_replace(url, '[^a-zA-Z0-9]+', '-', 'g') AS path_safe
+FROM d ORDER BY doc_id
+"""
+
+
+# --- F6: health-keyword predicate (find-page.ts:145-156) -------------------
+
+def f6_keyword_filter_with_fallback(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """The reference's OPTIONAL link criterion (find-page.ts:52-62): keep
+    keyword matches, but if none match, fall back to the full set. Both
+    branches are exercised: 'window' matches the corpus vocabulary; the
+    health keywords don't, so the health arm exercises the fallback in
+    this corpus while remaining the real predicate (F6)."""
+    doc = _t(spark, sf_dir, "documents")
+    kws = list(HEALTH_KEYWORDS[:4]) + ["window"]
+    pred = None
+    for k in kws:
+        c = F.lower(F.col("text")).contains(k)
+        pred = c if pred is None else (pred | c)
+    matched = doc.filter(pred).select("doc_id", "lang")
+    if matched.limit(1).count() == 0:  # fallback: use all (find-page.ts:59)
+        return doc.select("doc_id", "lang").orderBy("doc_id")
+    return matched.orderBy("doc_id")
+
+
+F6_SQL = """
+WITH m AS (
+  SELECT doc_id, lang FROM documents
+  WHERE lower(text) LIKE '%health%' OR lower(text) LIKE '%wellness%'
+     OR lower(text) LIKE '%medicine%' OR lower(text) LIKE '%medical%'
+     OR lower(text) LIKE '%window%'
+)
+SELECT doc_id, lang FROM m
+UNION ALL
+SELECT doc_id, lang FROM documents
+WHERE NOT EXISTS (SELECT 1 FROM m)
+ORDER BY doc_id
+"""
+
+
+# --- A1: value_counts (README.md:323-329) ----------------------------------
+
+def a1_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type").count()
+            .select("event_type", F.col("count").alias("n"))
+            .orderBy(F.desc("n"), "event_type"))
+
+
+A1_SQL = """
+SELECT event_type, count(*) AS n FROM events
+GROUP BY event_type ORDER BY n DESC, event_type
+"""
+
+
+# --- W3: first-item pick (RSS feed.items[0] analog) ------------------------
+
+def w3_first_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_id", "event_type")
+            .orderBy("user_id"))
+
+
+W3_SQL = """
+SELECT user_id, event_id, event_type
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+           ORDER BY ts, event_id) AS rn FROM events)
+WHERE rn = 1 ORDER BY user_id
+"""
+
+
+# --- L1: deterministic seeded pick (Math.random → hash order) --------------
+
+def l1_seeded_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 by md5(doc_id) — the reproducible replacement for the
+    reference's random link pick (find-page.ts:69-94, SURVEY L1)."""
+    doc = _t(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("pick|"), F.col("doc_id").cast("string"))
+              .cast("binary"))
+    return (doc.select("doc_id", h.alias("pick_hash"))
+            .orderBy("pick_hash").limit(20))
+
+
+L1_SQL = """
+SELECT doc_id, md5('pick|' || CAST(doc_id AS VARCHAR)) AS pick_hash
+FROM documents ORDER BY pick_hash LIMIT 20
+"""
+
+
+# --- Z1-analog: event-time tumbling window aggregation ---------------------
+
+def z1_hourly_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h event-time windows (the batch shape of the wave
+    trigger; Structured Streaming runs the same plan incrementally)."""
+    ev = _t(spark, sf_dir, "events")
+    dec = "decimal(18,4)"
+    return (ev.groupBy(F.date_trunc("hour", "ts").alias("hour"),
+                       "event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("value").cast(dec)).alias("d"))
+            .select("hour", "event_type", "n",
+                    F.round(F.col("d").cast("double"), 2).alias("sum_value"))
+            .orderBy("hour", "event_type"))
+
+
+Z1_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2)
+         AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+"""
+
+
+# --- A3/A4-analog: per-group progress & completion over orders -------------
+
+def a3_order_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max-progress + completion flag per group (crawl checkpoint
+    metrics analog: max(seq), bool_and(done))."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderstatus")
+            .agg(F.max("o_orderkey").alias("max_key"),
+                 F.count("*").alias("n"),
+                 F.min(F.col("o_totalprice").cast("decimal(18,4)"))
+                 .cast("double").alias("min_price"))
+            .orderBy("o_orderstatus"))
+
+
+A3_SQL = """
+SELECT o_orderstatus, max(o_orderkey) AS max_key, count(*) AS n,
+       CAST(min(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+         AS min_price
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "j1_region_revenue": j1_region_revenue,
+    "j5_unseen_anti_join": j5_unseen_anti_join,
+    "w1_host_priority_queue": w1_host_priority_queue,
+    "f2_url_validation": f2_url_validation,
+    "f6_keyword_filter_with_fallback": f6_keyword_filter_with_fallback,
+    "a1_value_counts": a1_value_counts,
+    "w3_first_event_per_user": w3_first_event_per_user,
+    "l1_seeded_pick": l1_seeded_pick,
+    "z1_hourly_event_counts": z1_hourly_event_counts,
+    "a3_order_progress": a3_order_progress,
+}
+ORACLES = {
+    "q1_pricing_summary": Q1_SQL,
+    "j1_region_revenue": J1_SQL,
+    "j5_unseen_anti_join": J5_SQL,
+    "w1_host_priority_queue": W1_SQL,
+    "f2_url_validation": F2_SQL,
+    "f6_keyword_filter_with_fallback": F6_SQL,
+    "a1_value_counts": A1_SQL,
+    "w3_first_event_per_user": W3_SQL,
+    "l1_seeded_pick": L1_SQL,
+    "z1_hourly_event_counts": Z1_SQL,
+    "a3_order_progress": A3_SQL,
+}

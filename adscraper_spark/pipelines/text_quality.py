@@ -1,0 +1,243 @@
+"""Text-analysis operators for a training-data pipeline over the
+``documents`` table: language-ID, quality scoring, token counting,
+document fingerprinting.
+
+Every operator is pure JVM-side column algebra (no Python UDFs in the
+hot path) and has an exact ANSI-SQL oracle (DuckDB) — the formulas are
+pinned to constructs whose semantics are identical in both engines
+(length/replace counting, md5, simple regex classes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# pinned per-language marker words (surrounded by spaces when counted so
+# substrings don't double-hit). Deterministic tie-break: language order.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to"],
+    "es": ["el", "la", "los", "que"],
+    "de": ["der", "die", "und", "nicht"],
+    "fr": ["le", "la", "les", "est"],
+}
+
+STOPWORDS = ["the", "and", "of", "to", "a", "in"]
+TOKEN_REGEX = "[A-Za-z]+|[0-9]+"  # BPE-ish word/number split, RE2==Java here
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _occurrences(col, needle: str):
+    """Count non-overlapping occurrences of ``needle`` via the
+    length/replace identity — bit-identical across engines."""
+    return ((F.length(col) - F.length(F.replace(col, F.lit(needle))))
+            / len(needle)).cast("long")
+
+
+def _padded(col):
+    return F.concat(F.lit(" "), col, F.lit(" "))
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID; argmax with language-name tie-break.
+    Scores per language = total marker-word occurrences."""
+    doc = _docs(spark, sf_dir)
+    padded = _padded(F.col("text"))
+    scores = [
+        sum(_occurrences(padded, f" {w} ") for w in words).alias(
+            f"score_{lang}")
+        for lang, words in LANG_MARKERS.items()
+    ]
+    scored = doc.select("doc_id", "lang", *scores)
+    # argmax via greatest + case chain (stable under ties: first lang wins)
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    pred = F.lit("und")
+    for lg in reversed(langs):
+        pred = F.when(F.col(f"score_{lg}") == best, F.lit(lg)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    return (scored
+            .select("doc_id", "lang", pred.alias("pred_lang"),
+                    best.cast("long").alias("best_score"))
+            .orderBy("doc_id"))
+
+
+def lang_id_sql() -> str:
+    def occ(expr: str, needle: str) -> str:
+        n = len(needle)
+        return (f"CAST((length({expr}) - length(replace({expr}, "
+                f"'{needle}', ''))) / {n} AS BIGINT)")
+
+    score_exprs = []
+    for lang, words in LANG_MARKERS.items():
+        parts = " + ".join(occ("p.padded", f" {w} ") for w in words)
+        score_exprs.append(f"({parts}) AS score_{lang}")
+    langs = list(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"score_{lg}" for lg in langs) + ")"
+    case = "CASE "
+    for lg in langs:
+        case += f"WHEN score_{lg} = best THEN '{lg}' "
+    case += "ELSE 'und' END"
+    return f"""
+WITH p AS (
+  SELECT doc_id, lang, ' ' || text || ' ' AS padded FROM documents
+), s AS (
+  SELECT doc_id, lang, {', '.join(score_exprs)} FROM p
+), b AS (
+  SELECT doc_id, lang, {best} AS best, * EXCLUDE (doc_id, lang) FROM s
+)
+SELECT doc_id, lang,
+       CASE WHEN best = 0 THEN 'und' ELSE {case} END AS pred_lang,
+       CAST(best AS BIGINT) AS best_score
+FROM b ORDER BY doc_id
+"""
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: length, word count, stopword ratio,
+    punctuation density — the standard web-text filtering features
+    (C4/Gopher-style rules, public literature), pinned to an exact
+    cross-engine formula."""
+    doc = _docs(spark, sf_dir)
+    text = F.col("text")
+    padded = _padded(text)
+    n_chars = F.length(text).cast("double")
+    n_words = (_occurrences(text, " ") + 1).cast("double")
+    stop_hits = sum(_occurrences(padded, f" {w} ") for w in STOPWORDS)
+    n_punct = sum(_occurrences(text, p) for p in [".", ",", "!", "?"])
+    mean_word_len = n_chars / n_words
+    stop_ratio = stop_hits.cast("double") / n_words
+    punct_ratio = n_punct.cast("double") / n_chars
+    score = (
+        F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
+        + F.when((mean_word_len >= 3.0) & (mean_word_len <= 10.0),
+                 F.lit(1.0)).otherwise(F.lit(0.0)) * 0.2
+        + F.least(punct_ratio * 20.0, F.lit(1.0)) * 0.1
+    )
+    return (doc.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars_m"),
+        n_words.cast("long").alias("n_words"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(score, 4).alias("quality"))
+        .orderBy("doc_id"))
+
+
+def quality_score_sql() -> str:
+    def occ(expr: str, needle: str) -> str:
+        n = len(needle)
+        esc = needle.replace("'", "''")
+        return (f"(length({expr}) - length(replace({expr}, '{esc}', '')))"
+                f" / {n}")
+
+    stop = " + ".join(occ("' ' || text || ' '", f" {w} ")
+                      for w in STOPWORDS)
+    punct = " + ".join(occ("text", p) for p in [".", ",", "!", "?"])
+    return f"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST({occ('text', ' ')} + 1 AS DOUBLE) AS n_words,
+         CAST({stop} AS DOUBLE) AS stop_hits,
+         CAST({punct} AS DOUBLE) AS n_punct
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars_m,
+       CAST(n_words AS BIGINT) AS n_words,
+       round(stop_hits / n_words, 4) AS stop_ratio,
+       round(
+         least(n_words / 100.0, 1.0) * 0.4
+         + least(stop_hits / n_words * 5.0, 1.0) * 0.3
+         + (CASE WHEN n_chars / n_words BETWEEN 3.0 AND 10.0
+                 THEN 1.0 ELSE 0.0 END) * 0.2
+         + least(n_punct / n_chars * 20.0, 1.0) * 0.1, 4) AS quality
+FROM f ORDER BY doc_id
+"""
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens + regex (BPE-ish) tokens per doc + corpus
+    totals by language."""
+    doc = _docs(spark, sf_dir)
+    per_doc = doc.select(
+        "doc_id", "lang",
+        (_occurrences(F.col("text"), " ") + 1).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(TOKEN_REGEX), F.lit(0)))
+        .cast("long").alias("re_tokens"))
+    return (per_doc.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("ws_tokens").alias("ws_tokens"),
+                 F.sum("re_tokens").alias("re_tokens"))
+            .orderBy("lang"))
+
+
+def token_count_sql() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         (length(text) - length(replace(text, ' ', ''))) + 1 AS ws_tokens,
+         length(regexp_extract_all(text, '{TOKEN_REGEX}')) AS re_tokens
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(ws_tokens) AS BIGINT) AS ws_tokens,
+       CAST(sum(re_tokens) AS BIGINT) AS re_tokens
+FROM t GROUP BY lang ORDER BY lang
+"""
+
+
+FINGERPRINT_K = 8  # char-shingle width
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-hash document fingerprint: minimum md5 over all 8-char
+    shingles (rolling-window content fingerprint; winnowing's min rule
+    with a single global window). md5 hex compares identically in both
+    engines."""
+    doc = _docs(spark, sf_dir).filter(F.length("text") >= FINGERPRINT_K)
+    shingles = F.transform(
+        F.sequence(F.lit(1),
+                   F.length("text") - F.lit(FINGERPRINT_K - 1)),
+        lambda i: F.md5(F.substring(F.col("text"), i, FINGERPRINT_K)
+                        .cast("binary")))
+    return (doc.select("doc_id",
+                       F.array_min(shingles).alias("fingerprint"))
+            .orderBy("doc_id"))
+
+
+def doc_fingerprint_sql() -> str:
+    # DuckDB's generate_series only takes constants, so the position
+    # domain is built from row_number over lineitem (always longer than
+    # the longest document) and pre-filtered to max(length(text)).
+    return f"""
+WITH nums AS (
+  SELECT i FROM (SELECT row_number() OVER () AS i FROM lineitem)
+  WHERE i <= (SELECT max(length(text)) FROM documents)
+)
+SELECT doc_id,
+       min(md5(substr(text, CAST(i AS INT), {FINGERPRINT_K})))
+         AS fingerprint
+FROM documents, nums
+WHERE length(text) >= {FINGERPRINT_K}
+  AND i <= length(text) - {FINGERPRINT_K - 1}
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "lang_id": lang_id,
+    "quality_score": quality_score,
+    "token_count": token_count,
+    "doc_fingerprint": doc_fingerprint,
+}
+ORACLES = {
+    "lang_id": lang_id_sql(),
+    "quality_score": quality_score_sql(),
+    "token_count": token_count_sql(),
+    "doc_fingerprint": doc_fingerprint_sql(),
+}
