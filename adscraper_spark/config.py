@@ -26,6 +26,10 @@ class CrawlConfig:
     bloom_expected_per_partition: int = 100_000
     checkpoint_every: int = 1        # waves between durable checkpoints
     same_host_only: bool = True      # F4 link-admission filter
+    # Z5 failure/retry semantics: a fetch error is retried in a later
+    # wave until this many attempts (reference analog: k8s
+    # backoffLimitPerIndex=20, indexed-job.yaml:10-14). 1 = no retry.
+    max_retries: int = 1
     extra: dict = field(default_factory=dict)
 
     def __post_init__(self) -> None:
@@ -37,3 +41,5 @@ class CrawlConfig:
             raise ValueError("bad horizon")
         if self.salt_fanout < 1 or self.bloom_partitions < 1:
             raise ValueError("bad fan-out")
+        if self.max_retries < 1:
+            raise ValueError("max_retries must be >= 1")

@@ -144,6 +144,33 @@ class CrawlEngine:
     # ------------------------------------------------------------------
     # bootstrap (wave 0 admission = the crawl list, S1/F1/F2)
     # ------------------------------------------------------------------
+    def _seed_rows(self, seeds, wave_admitted: int) -> list[tuple]:
+        """Validate/normalize/dedup a seed batch → admitted-log rows.
+        First occurrence wins (reference Set semantics); invalid URLs are
+        quarantined with state 'invalid' (crawler.ts:191-200)."""
+        check_disallowed = disallowed_checker(self.robots_rows)
+        rows = []
+        seen: set[str] = set()
+        for item in seeds:
+            seq, raw = item[0], item[1]
+            ad_id = item[2] if len(item) > 2 else None
+            norm = normalize_url(raw)
+            if norm is None:
+                if raw not in seen:
+                    seen.add(raw)
+                    rows.append((raw, None, None, 0, 0.0, int(seq), None,
+                                 ad_id, "invalid", wave_admitted))
+                continue
+            if norm in seen:
+                continue
+            seen.add(norm)
+            host, path = url_host(norm), url_path(norm)
+            state = ("disallowed" if check_disallowed(host, path)
+                     else "pending")
+            rows.append((norm, host, path, 0, 0.0, int(seq), None, ad_id,
+                         state, wave_admitted))
+        return rows
+
     def bootstrap(self, seeds: list[tuple[int, str]] |
                   list[tuple[int, str, int | None]]) -> None:
         """Admit the seed list. seeds = [(seq, url)] or [(seq, url, ad_id)]
@@ -153,44 +180,61 @@ class CrawlEngine:
                 "crawl already bootstrapped — resume with run(), or use a "
                 "fresh workdir (reference analog: crawl-name reuse check, "
                 "crawler.ts:229-283)")
-        check_disallowed = disallowed_checker(self.robots_rows)
-        rows = []
-        for item in seeds:
-            seq, raw = item[0], item[1]
-            ad_id = item[2] if len(item) > 2 else None
-            norm = normalize_url(raw)
-            if norm is None:
-                rows.append((raw, None, None, 0, 0.0, int(seq), None,
-                             ad_id, "invalid", 0))
-                continue
-            host, path = url_host(norm), url_path(norm)
-            state = ("disallowed" if check_disallowed(host, path)
-                     else "pending")
-            rows.append((norm, host, path, 0, 0.0, int(seq), None, ad_id,
-                         state, 0))
-        # seed-list dedup: first occurrence wins (reference Set semantics)
-        seen: set[str] = set()
-        uniq = []
-        for r in rows:
-            if r[0] in seen:
-                continue
-            seen.add(r[0])
-            uniq.append(r)
+        uniq = self._seed_rows(seeds, wave_admitted=0)
         df = self.spark.createDataFrame(uniq, ADMITTED_SCHEMA)
         self.admitted.append(df)
         self._update_bloom(0, [(r[1] or "", r[0]) for r in uniq])
         self._commit_wave(0, {"seeds": len(uniq)})
 
+    def admit_seeds(self, seeds) -> int:
+        """Incrementally admit a seed batch into a live crawl (streaming
+        intake path). Idempotent: already-admitted URLs are dropped by an
+        anti-join against the admitted log, so replayed batches are
+        no-ops. Returns the number of newly admitted rows."""
+        if self.last_committed_wave() < 0:
+            self.bootstrap(seeds)
+            return len(self._seed_rows(seeds, 0))
+        wave = self.last_committed_wave() + 1
+        rows = self._seed_rows(seeds, wave_admitted=wave)
+        if not rows:
+            return 0
+        df = self.spark.createDataFrame(rows, ADMITTED_SCHEMA)
+        existing = self.admitted.read(self.spark)
+        if existing is not None:
+            df = df.join(existing.select("url"), "url", "left_anti")
+        new = df.collect()  # seed batches are job-spec sized
+        if not new:
+            return 0
+        self.admitted.append(
+            self.spark.createDataFrame(new, ADMITTED_SCHEMA))
+        self._update_bloom(wave, [(r["host"] or "", r["url"]) for r in new])
+        # fold the admission into the latest manifest so resume sees it
+        last = self.last_committed_wave()
+        with open(self._manifest_path(last)) as f:
+            stats = json.load(f).get("stats", {})
+        stats["late_seeds"] = stats.get("late_seeds", 0) + len(new)
+        self._commit_wave(last, stats)
+        return len(new)
+
     # ------------------------------------------------------------------
     def pending_df(self) -> DataFrame:
+        """Pending = admitted-pending minus exhausted URLs. A URL is
+        exhausted once fetched, or after max_retries error attempts
+        (Z5; reference analog: k8s backoffLimitPerIndex)."""
         admitted = self.admitted.read(self.spark)
         if admitted is None:
             raise RuntimeError("bootstrap first")
         pending = admitted.filter(F.col("state_initial") == "pending")
         processed = self.processed.read(self.spark)
         if processed is not None:
-            pending = pending.join(
-                processed.select("url"), "url", "left_anti")
+            exhausted = (
+                processed.groupBy("url")
+                .agg(F.max(F.col("state_final") == "fetched").alias("done"),
+                     F.count("*").alias("attempts"))
+                .filter(F.col("done")
+                        | (F.col("attempts") >= self.config.max_retries))
+                .select("url"))
+            pending = pending.join(exhausted, "url", "left_anti")
         return pending
 
     # ------------------------------------------------------------------

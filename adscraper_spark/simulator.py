@@ -43,7 +43,7 @@ def simulate_crawl(pages: dict[str, bytes],
     def admit(url, host, path, depth, seq, state, src):
         frontier[url] = {"host": host, "path": path, "depth": depth,
                          "priority": float(depth), "seq": seq,
-                         "state": state}
+                         "state": state, "attempts": 0}
         admitted_from[url] = src
 
     # ---- bootstrap: seed-list order, first occurrence wins --------------
@@ -87,7 +87,10 @@ def simulate_crawl(pages: dict[str, bytes],
         for url, e in planned:
             html = pages.get(url)
             if html is None:
-                e["state"] = "error"
+                # Z5: retry budget — stays pending until attempts exhaust
+                e["attempts"] += 1
+                if e["attempts"] >= config.max_retries:
+                    e["state"] = "error"
                 order.append((url, wave))
                 continue
             e["state"] = "fetched"
