@@ -80,12 +80,32 @@ def _extraction_udf_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("url"))
 
 
+def _find_articles_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SubpageExplorer analog (findArticle, find-page.ts): seeded-rank
+    candidate exploration over the synthetic corpus; deterministic
+    (rows-only check; oracle-equivalence lives in tests/test_analysis.py).
+    """
+    from adscraper_spark.analysis import find_articles
+    from adscraper_spark.corpus import CorpusSpec, write_corpus_parquet
+
+    spec = CorpusSpec(n_pages=200, n_hosts=10, seed=42)
+    cache = os.path.join(tempfile.gettempdir(),
+                         f"adscraper_spark_corpus_{spec.n_pages}_{spec.seed}")
+    if not os.path.exists(os.path.join(cache, "pages.parquet")):
+        write_corpus_parquet(spec, cache)
+    sources = [(spec.page_url(0, j),) for j in range(15)]
+    src_df = spark.createDataFrame(sources, "url string")
+    return find_articles(spark, os.path.join(cache, "pages.parquet"),
+                         src_df, seed=42).orderBy("src_url")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for mod in _MODULES:
         out.update(mod.QUERIES)
     out["crawl_engine_e2e"] = _crawl_engine_e2e
     out["extraction_udf_demo"] = _extraction_udf_demo
+    out["find_articles_demo"] = _find_articles_demo
     return out
 
 

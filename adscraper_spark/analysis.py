@@ -1,0 +1,112 @@
+"""Subpage-exploration analogs of the reference's SubpageExplorer
+(crawler/src/pages/find-page.ts) — re-expressed as declarative dataflow.
+
+Reference behavior: from a page, collect same-hostname links, drop
+previously-guessed ones, optionally prefer keyword-matching links
+(falling back to all when none match), then navigate candidates in
+random order, up to 20 guesses, returning the FIRST candidate whose
+fetched page meets a criterion (isProbablyReaderable for findArticle;
+ads>0 for findPageWithAds).
+
+Deterministic re-expression (SURVEY §2.6 L1): the random order becomes
+``xxhash64(link, seed)`` ranking; "up to 20 guesses" becomes rank ≤ 20;
+"first match" becomes min-rank among criterion-satisfying candidates
+(W3). Candidates are "fetched" via the corpus join + extraction UDF —
+one batch plan instead of per-page navigation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .extraction.core import HEALTH_KEYWORDS
+from .extraction.udfs import extract_pages
+
+MAX_GUESSES = 20  # find-page.ts:121 (maxGuesses)
+
+
+def _candidate_links(spark: SparkSession, pages_path: str,
+                     source_urls: DataFrame, seed: int) -> DataFrame:
+    """(src_url, link, guess_rank): same-host links of each source page,
+    deduplicated, ranked by the seeded hash (the Math.random stand-in).
+    """
+    pages = spark.read.parquet(pages_path).select("url", "html")
+    src = source_urls.join(pages, "url")
+    par = spark.sparkContext.defaultParallelism
+    ex = extract_pages(src.repartition(par, "url"))
+    links = (ex.select(F.col("url").alias("src_url"),
+                       F.explode("links").alias("link"))
+             .withColumn("src_host",
+                         F.lower(F.parse_url("src_url", F.lit("HOST"))))
+             .withColumn("link_host",
+                         F.lower(F.parse_url("link", F.lit("HOST"))))
+             .filter(F.col("link_host") == F.col("src_host"))    # F4
+             .filter(F.col("link") != F.col("src_url"))
+             .select("src_url", "link").distinct())              # F5
+    w = Window.partitionBy("src_url").orderBy(
+        F.xxhash64("link", F.lit(seed)), F.col("link"))
+    return links.withColumn("guess_rank", F.row_number().over(w))
+
+
+def _first_match(cands: DataFrame, fetched_ok: DataFrame) -> DataFrame:
+    """min-rank candidate per source whose fetched page met the
+    criterion — rank ≤ MAX_GUESSES (find-page.ts guess budget)."""
+    hits = (cands.filter(F.col("guess_rank") <= MAX_GUESSES)
+            .join(fetched_ok, cands.link == fetched_ok.url)
+            .select("src_url", "link", "guess_rank"))
+    w = Window.partitionBy("src_url").orderBy("guess_rank")
+    return (hits.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("src_url", F.col("link").alias("found_url"),
+                    "guess_rank"))
+
+
+def find_articles(spark: SparkSession, pages_path: str,
+                  source_urls: DataFrame, seed: int = 42) -> DataFrame:
+    """findArticle analog: first same-host candidate (seeded order, ≤20
+    guesses) whose page is probably readerable (U8). RSS short-circuit:
+    pages advertising an RSS feed are handled by the caller via the
+    extraction ``rss_urls`` column (get-rss-article.ts path)."""
+    cands = _candidate_links(spark, pages_path, source_urls, seed)
+    pages = spark.read.parquet(pages_path).select("url", "html")
+    cand_pages = (cands.select(F.col("link").alias("url")).distinct()
+                  .join(pages, "url"))
+    par = spark.sparkContext.defaultParallelism
+    ex = extract_pages(cand_pages.repartition(par, "url"))
+    readerable = ex.filter(F.col("readerable")).select("url")
+    return _first_match(cands, readerable)
+
+
+def find_pages_with_ads(spark: SparkSession, pages_path: str,
+                        source_urls: DataFrame, seed: int = 42,
+                        health_priority: bool = False) -> DataFrame:
+    """findPageWithAds / findHealthRelatedPagesWithAds analog: first
+    candidate whose page contains ≥1 detected ad (U2). With
+    ``health_priority``, keyword-matching links are preferred but the
+    full set is used when none match (the optional-criterion fallback,
+    find-page.ts:52-62) — per source page."""
+    cands = _candidate_links(spark, pages_path, source_urls, seed)
+    if health_priority:
+        kw = None
+        for k in HEALTH_KEYWORDS:
+            c = F.lower(F.col("link")).contains(k)
+            kw = c if kw is None else (kw | c)
+        cands = cands.withColumn("kw", kw)
+        any_kw = (cands.groupBy("src_url")
+                  .agg(F.max("kw").alias("has_kw")))
+        cands = (cands.join(any_kw, "src_url")
+                 .filter(~F.col("has_kw") | F.col("kw"))
+                 .drop("kw", "has_kw"))
+        # re-rank within the filtered candidate set
+        w = Window.partitionBy("src_url").orderBy("guess_rank")
+        cands = (cands.withColumn("guess_rank2", F.row_number().over(w))
+                 .drop("guess_rank")
+                 .withColumnRenamed("guess_rank2", "guess_rank"))
+    pages = spark.read.parquet(pages_path).select("url", "html")
+    cand_pages = (cands.select(F.col("link").alias("url")).distinct()
+                  .join(pages, "url"))
+    par = spark.sparkContext.defaultParallelism
+    ex = extract_pages(cand_pages.repartition(par, "url"))
+    with_ads = ex.filter(F.col("n_ads") > 0).select("url")
+    return _first_match(cands, with_ads)
