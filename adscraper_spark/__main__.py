@@ -1,0 +1,102 @@
+"""CLI entrypoint — the crawler-cli / runIndexedJob analog (SURVEY §3).
+
+Run standalone or via spark-submit (the module is self-contained; ship
+the package with ``--py-files adscraper_spark.zip``):
+
+    python -m adscraper_spark crawl \
+        --pages corpus/pages.parquet --robots corpus/robots.parquet \
+        --workdir ./crawl1 --crawl-list seeds.txt --max-waves 10
+
+Input-mode exclusivity (exactly one of --crawl-list / --ad-crawl-list /
+--url) mirrors crawler-cli.ts:207-298; resuming an existing workdir
+skips bootstrap (F9 completed-crawl semantics).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="adscraper_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    c = sub.add_parser("crawl", help="run a crawl (wave loop)")
+    c.add_argument("--pages", required=True,
+                   help="pages corpus parquet path")
+    c.add_argument("--robots", default=None,
+                   help="robots parquet path (host, robots_txt)")
+    c.add_argument("--workdir", required=True)
+    src = c.add_mutually_exclusive_group()
+    src.add_argument("--crawl-list", help="text file, one URL per line")
+    src.add_argument("--ad-crawl-list", help="CSV with url,ad_id columns")
+    src.add_argument("--url", help="single URL")
+    c.add_argument("--max-waves", type=int, default=100)
+    c.add_argument("--max-depth", type=int, default=3)
+    c.add_argument("--wave-seconds", type=float, default=10.0)
+    c.add_argument("--default-budget", type=int, default=4)
+    c.add_argument("--max-retries", type=int, default=1)
+    c.add_argument("--salt-fanout", type=int, default=16)
+    c.add_argument("--cpus", type=int, default=None)
+    g = sub.add_parser("gen-corpus", help="write a synthetic corpus")
+    g.add_argument("--out", required=True)
+    g.add_argument("--pages", type=int, default=1000)
+    g.add_argument("--hosts", type=int, default=20)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--content-scale", type=int, default=1)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+    from .session import build_session
+
+    if args.cmd == "gen-corpus":
+        from .corpus import CorpusSpec, write_corpus_spark
+
+        spark = build_session(cpus=32)
+        spec = CorpusSpec(n_pages=args.pages, n_hosts=args.hosts,
+                          seed=args.seed,
+                          content_scale=args.content_scale)
+        paths = write_corpus_spark(spark, spec, args.out)
+        print(json.dumps(paths))
+        spark.stop()
+        return 0
+
+    # crawl
+    from .config import CrawlConfig
+    from .engine import CrawlEngine
+    from .sources import (
+        read_ad_crawl_list_csv, read_crawl_list_text, single_url_seed,
+    )
+
+    spark = build_session(cpus=args.cpus)
+    cfg = CrawlConfig(max_waves=args.max_waves, max_depth=args.max_depth,
+                      wave_seconds=args.wave_seconds,
+                      default_budget=args.default_budget,
+                      max_retries=args.max_retries,
+                      salt_fanout=args.salt_fanout)
+    eng = CrawlEngine(spark, args.pages, args.robots, args.workdir, cfg)
+    resuming = eng.last_committed_wave() >= 0
+    if not resuming:
+        if args.crawl_list:
+            seeds = read_crawl_list_text(spark, args.crawl_list)
+        elif args.ad_crawl_list:
+            seeds = read_ad_crawl_list_csv(spark, args.ad_crawl_list)
+        elif args.url:
+            seeds = single_url_seed(args.url)
+        else:
+            print("error: one of --crawl-list/--ad-crawl-list/--url is "
+                  "required for a new crawl (exclusive input modes, "
+                  "crawler-cli.ts:207-298)", file=sys.stderr)
+            return 2
+        eng.bootstrap(seeds)
+    stats = eng.run()
+    print(json.dumps({"resumed": resuming, "waves": stats}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -86,6 +86,7 @@ class CrawlEngine:
         self.results = SnapshotTable(os.path.join(workdir, "results"))
         self.ads = SnapshotTable(os.path.join(workdir, "ads"))
         self.requests = SnapshotTable(os.path.join(workdir, "requests"))
+        self.iframes = SnapshotTable(os.path.join(workdir, "iframes"))
         self.bloom = BloomStore(
             os.path.join(workdir, "bloom"), self.config.bloom_partitions,
             self.config.bloom_expected_per_partition)
@@ -101,7 +102,7 @@ class CrawlEngine:
         self._tables = {
             "admitted": self.admitted, "processed": self.processed,
             "results": self.results, "ads": self.ads,
-            "requests": self.requests,
+            "requests": self.requests, "iframes": self.iframes,
         }
 
     # ------------------------------------------------------------------
@@ -333,7 +334,12 @@ class CrawlEngine:
                            "seq", "src_url", "ad_id"),
             self.budgets, cfg.default_budget, cfg.salt_fanout)
         planned = planned.cache()
-        n_planned = planned.count()
+        # one job: wave size + approx distinct hosts (lineage metric,
+        # SURVEY §2.4 — sketch, not exact, so no extra shuffle width)
+        prow = planned.agg(
+            F.count("*").alias("n"),
+            F.approx_count_distinct("host").alias("hosts")).collect()[0]
+        n_planned, n_hosts = prow["n"], prow["hosts"]
         _tick(f"plan ({n_planned})")
         if n_planned == 0:
             planned.unpersist()
@@ -366,6 +372,19 @@ class CrawlEngine:
             .select("url", "ad_index", "ad.html", "ad.selector",
                     "ad.platform", "ad.chumbox_parts", "ad.anchor_hrefs",
                     "ad.iframe_srcs", "ad.script_srcs", "ad.img_srcs")
+            .withColumn("wave", F.lit(wave))
+        )
+        # S12 iframe-tree table: the recursive insert of
+        # crawler/src/util/db.ts:173-196 as a flat explode with
+        # (ad_index, parent_index) adjacency (adscraper.sql:159-168)
+        iframes_df = (
+            extracted.select("url", F.explode("iframes").alias("f"))
+            .select("url",
+                    F.col("f.ad_index").alias("ad_index"),
+                    F.col("f.parent_index").alias("parent_index"),
+                    F.col("f.url").alias("iframe_url"),
+                    F.col("f.html").alias("html"),
+                    F.col("f.textcontent").alias("textcontent"))
             .withColumn("wave", F.lit(wave))
         )
         # third-party request log analog (S11/F3): external ad URLs whose
@@ -491,10 +510,13 @@ class CrawlEngine:
         _tick("ads append")
         self.requests.append(requests_df)
         _tick("requests append")
+        self.iframes.append(iframes_df)
+        _tick("iframes append")
         stats = {
             "planned": n_planned, "fetched": n_fetched, "errors": n_errors,
             "admitted": n_admitted,
             "disallowed": n_disallowed,
+            "approx_hosts": n_hosts,
         }
         # per-wave lineage metrics live in the wave manifest (no extra
         # write job); metrics_df() rebuilds a DataFrame from manifests.
