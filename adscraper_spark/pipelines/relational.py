@@ -339,7 +339,58 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+# --- T1-T4: set-union semantics (selector-match union analog) --------------
+
+def t1_word_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-of-matches-into-a-Set analog (ad-detection.ts:14-21):
+    per-language distinct vocabulary via array_distinct + explode +
+    distinct aggregation."""
+    doc = _t(spark, sf_dir, "documents")
+    return (doc.select("lang", F.explode(
+        F.array_distinct(F.split("text", " "))).alias("word"))
+        .groupBy("lang")
+        .agg(F.countDistinct("word").alias("vocab"),
+             F.count("*").alias("occurrences"))
+        .orderBy("lang"))
+
+
+T1_SQL = """
+WITH w AS (
+  SELECT DISTINCT doc_id, lang, unnest(string_split(text, ' ')) AS word
+  FROM documents
+)
+SELECT lang, count(DISTINCT word) AS vocab, count(*) AS occurrences
+FROM w GROUP BY lang ORDER BY lang
+"""
+
+
+# --- A5: max-within-array (max-bid analog, ad-scraper.ts:420-427) ----------
+
+def a5_array_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math.max over a per-row collection, as array_max of a JVM-side
+    transform (the max-bid shape without a UDF)."""
+    doc = _t(spark, sf_dir, "documents")
+    return (doc.select(
+        "doc_id",
+        F.array_max(F.transform(F.split("text", " "),
+                                lambda w: F.length(w)))
+        .cast("long").alias("max_word_len"),
+        F.size(F.split("text", " ")).cast("long").alias("n_words"))
+        .orderBy("doc_id"))
+
+
+A5_SQL = """
+SELECT doc_id,
+       CAST(max(length(w)) AS BIGINT) AS max_word_len,
+       CAST(count(*) AS BIGINT) AS n_words
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "t1_word_set_union": t1_word_set_union,
+    "a5_array_max": a5_array_max,
     "q1_pricing_summary": q1_pricing_summary,
     "j1_region_revenue": j1_region_revenue,
     "j5_unseen_anti_join": j5_unseen_anti_join,
@@ -353,6 +404,8 @@ QUERIES = {
     "a3_order_progress": a3_order_progress,
 }
 ORACLES = {
+    "t1_word_set_union": T1_SQL,
+    "a5_array_max": A5_SQL,
     "q1_pricing_summary": Q1_SQL,
     "j1_region_revenue": J1_SQL,
     "j5_unseen_anti_join": J5_SQL,
