@@ -78,9 +78,13 @@ class BloomSegment:
 
     # -- persistence ---------------------------------------------------------
     def save(self, path: str) -> None:
-        tmp = path + ".tmp"
-        np.save(tmp, self.words, allow_pickle=False)
-        os.replace(tmp + ".npy", path)
+        # tmp name must NOT match load_segment's 'wave-*.npy' scan, so a
+        # crash between write and rename leaves only an ignorable file.
+        tmp = os.path.join(os.path.dirname(path),
+                           ".tmp-" + os.path.basename(path))
+        with open(tmp, "wb") as f:
+            np.save(f, self.words, allow_pickle=False)
+        os.replace(tmp, path)
 
     @classmethod
     def load(cls, path: str, k: int = DEFAULT_NUM_HASHES) -> "BloomSegment":
@@ -110,7 +114,10 @@ class BloomStore:
             best = -1
             for name in os.listdir(d):
                 if name.startswith("wave-") and name.endswith(".npy"):
-                    w = int(name[5:-4])
+                    try:
+                        w = int(name[5:-4])
+                    except ValueError:
+                        continue  # stray non-segment file — ignore
                     if w <= wave and w > best:
                         best = w
             if best >= 0:
@@ -118,7 +125,12 @@ class BloomStore:
         return BloomSegment.sized_for(self.expected)
 
     def update_segment(self, partition: int, wave: int, urls) -> None:
-        seg = self.load_segment(partition, wave - 1)
+        # Seed from the latest segment AT-OR-BEFORE ``wave`` so same-wave
+        # updates merge cumulatively (run_wave's admissions + a streamed
+        # admit_seeds batch landing at the same wave must both survive).
+        # Extra bits inherited from a rolled-back orphan segment are safe:
+        # bloom hits fall through to the exact anti-join (SURVEY §4.2).
+        seg = self.load_segment(partition, wave)
         seg.add_many(urls)
         os.makedirs(os.path.join(self.root, f"p{partition}"), exist_ok=True)
         seg.save(self.segment_path(partition, wave))

@@ -209,12 +209,23 @@ class CrawlEngine:
         self.admitted.append(
             self.spark.createDataFrame(new, ADMITTED_SCHEMA))
         self._update_bloom(wave, [(r["host"] or "", r["url"]) for r in new])
-        # fold the admission into the latest manifest so resume sees it
+        # Fold ONLY the admitted-log advance into the latest manifest.
+        # Re-snapshotting every table here would pin half-committed
+        # appends from a concurrently-running wave (rollback would then
+        # replay them as duplicates); the other tables keep the ids the
+        # wave commit published.
         last = self.last_committed_wave()
         with open(self._manifest_path(last)) as f:
-            stats = json.load(f).get("stats", {})
+            manifest = json.load(f)
+        manifest["snapshots"]["admitted"] = \
+            self.admitted.current_snapshot_id()
+        stats = manifest.get("stats", {})
         stats["late_seeds"] = stats.get("late_seeds", 0) + len(new)
-        self._commit_wave(last, stats)
+        manifest["stats"] = stats
+        tmp = self._manifest_path(last) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.rename(tmp, self._manifest_path(last))
         return len(new)
 
     # ------------------------------------------------------------------

@@ -16,25 +16,40 @@ at a time per site) generalized to wave granularity.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
+from functools import lru_cache
+
+
+@lru_cache(maxsize=4096)
+def _rule_regex(pattern: str) -> re.Pattern:
+    """RFC 9309 rule pattern → anchored regex: ``*`` matches any run of
+    characters, a trailing ``$`` anchors at end-of-path; everything else
+    is literal. Plain prefixes compile to plain anchored literals, so the
+    common case costs the same as startswith."""
+    anchored_end = pattern.endswith("$")
+    body = pattern[:-1] if anchored_end else pattern
+    parts = [re.escape(seg) for seg in body.split("*")]
+    return re.compile("^" + ".*".join(parts) + ("$" if anchored_end else ""))
 
 
 @dataclass(frozen=True)
 class RobotsPolicy:
-    allows: tuple[tuple[str, bool], ...]  # (path_prefix, is_allow), as read
+    allows: tuple[tuple[str, bool], ...]  # (path_pattern, is_allow), as read
     crawl_delay: float | None
 
     def is_allowed(self, path: str) -> bool:
-        """Longest-prefix match wins; tie → allow wins (RFC 9309 §2.2.2)."""
+        """Most-specific (longest-pattern) match wins; tie → allow wins
+        (RFC 9309 §2.2.2). Patterns support ``*`` / trailing ``$``."""
         best_len = -1
         best_allow = True
-        for prefix, is_allow in self.allows:
-            if prefix == "":
+        for pattern, is_allow in self.allows:
+            if pattern == "":
                 continue
-            if path.startswith(prefix) and len(prefix) >= best_len:
-                if len(prefix) > best_len or is_allow:
+            if _rule_regex(pattern).match(path) and len(pattern) >= best_len:
+                if len(pattern) > best_len or is_allow:
                     best_allow = is_allow
-                best_len = len(prefix)
+                best_len = len(pattern)
         return best_allow
 
     def budget(self, wave_seconds: float, default_budget: int) -> int:
@@ -53,7 +68,7 @@ def parse_robots(body: str | None) -> RobotsPolicy:
     rules: list[tuple[str, bool]] = []
     delay: float | None = None
     in_star_group = False
-    seen_any_ua = False
+    group_open = False  # current group head still accepting UA lines
     for raw in body.splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line or ":" not in line:
@@ -62,18 +77,23 @@ def parse_robots(body: str | None) -> RobotsPolicy:
         key = key.strip().lower()
         val = val.strip()
         if key == "user-agent":
-            if seen_any_ua and in_star_group and rules:
-                # a later group starts after we already captured '*'
-                in_star_group = val == "*" or in_star_group
-            in_star_group = val == "*"
-            seen_any_ua = True
-        elif key in ("disallow", "allow") and in_star_group:
-            rules.append((val, key == "allow"))
-        elif key == "crawl-delay" and in_star_group:
-            try:
-                delay = float(val)
-            except ValueError:
-                pass
+            # RFC 9309 §2.1: consecutive user-agent lines form ONE group
+            # head; membership of '*' ORs in. A user-agent line after any
+            # rule starts a NEW group.
+            if group_open:
+                in_star_group = in_star_group or val == "*"
+            else:
+                in_star_group = val == "*"
+                group_open = True
+        else:
+            group_open = False
+            if key in ("disallow", "allow") and in_star_group:
+                rules.append((val, key == "allow"))
+            elif key == "crawl-delay" and in_star_group:
+                try:
+                    delay = float(val)
+                except ValueError:
+                    pass
     return RobotsPolicy(allows=tuple(rules), crawl_delay=delay)
 
 

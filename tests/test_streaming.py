@@ -64,6 +64,37 @@ def test_streaming_seed_intake_idempotent(spark, small, tmp_path_factory):
     assert sum(s["planned"] for s in stats) >= 4
 
 
+def test_admit_seeds_preserves_other_table_snapshots(
+        spark, small, tmp_path_factory):
+    """Regression: admit_seeds must advance ONLY the admitted snapshot in
+    the manifest — re-pinning all tables would make rollback keep a
+    concurrent wave's half-committed appends."""
+    import json
+
+    spec, paths = small
+    cfg = CrawlConfig(wave_seconds=10, default_budget=2, max_waves=2,
+                      max_depth=1)
+    work = str(tmp_path_factory.mktemp("w2"))
+    eng = CrawlEngine(spark, paths["pages"], paths["robots"], work, cfg)
+    eng.bootstrap([(0, spec.page_url(0, 0)), (1, spec.page_url(1, 0))])
+    eng.run_wave(1)
+    last = eng.last_committed_wave()
+    with open(eng._manifest_path(last)) as f:
+        before = json.load(f)["snapshots"]
+    # simulate a mid-commit wave: results gets an orphan append AFTER the
+    # manifest was written, then a seed batch lands
+    eng.results.append(eng.results.read(spark).limit(1))
+    eng.admit_seeds([(9, spec.page_url(2, 0))])
+    with open(eng._manifest_path(eng.last_committed_wave())) as f:
+        after = json.load(f)["snapshots"]
+    assert after["admitted"] > before["admitted"]
+    for tbl in ("processed", "results", "ads", "requests", "iframes"):
+        assert after[tbl] == before[tbl], tbl
+    # rollback discards the orphan results append
+    eng._rollback_to_last_commit()
+    assert eng.results.current_snapshot_id() == before["results"]
+
+
 def test_host_fetch_rates_watermarked(spark, tmp_path):
     src_dir = tmp_path / "fetchlog"
     src_dir.mkdir()

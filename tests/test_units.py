@@ -55,6 +55,36 @@ def test_robots_parse_and_budget():
     assert pol2.is_allowed("/q") and not pol2.is_allowed("/p/x")
 
 
+def test_robots_multiline_ua_group_head():
+    # RFC 9309 §2.1: consecutive UA lines share one group head; '*'
+    # anywhere in the head captures the group's rules.
+    pol = parse_robots("User-agent: *\nUser-agent: other\n"
+                       "Disallow: /blocked/\n")
+    assert not pol.is_allowed("/blocked/x")
+    pol2 = parse_robots("User-agent: other\nUser-agent: *\n"
+                        "Disallow: /blocked/\n")
+    assert not pol2.is_allowed("/blocked/x")
+    # a UA line AFTER rules starts a new group — star group rules kept
+    pol3 = parse_robots("User-agent: *\nDisallow: /a/\n"
+                        "User-agent: other\nDisallow: /b/\n")
+    assert not pol3.is_allowed("/a/x")
+    assert pol3.is_allowed("/b/x")
+
+
+def test_robots_wildcard_rules():
+    pol = parse_robots("User-agent: *\nDisallow: /*.php\n"
+                       "Disallow: /tmp/*/draft\nDisallow: /exact$\n")
+    assert not pol.is_allowed("/index.php")
+    assert not pol.is_allowed("/a/b/page.php")
+    assert not pol.is_allowed("/tmp/x/draft")
+    assert pol.is_allowed("/tmp/draft")  # '*' spans a segment, not absence
+    assert not pol.is_allowed("/exact")
+    assert pol.is_allowed("/exact/sub")  # '$' anchors end-of-path
+    # longest matching pattern wins regardless of rule order
+    pol2 = parse_robots("User-agent: *\nDisallow: /p/\nAllow: /p/ok*\n")
+    assert pol2.is_allowed("/p/ok-page") and not pol2.is_allowed("/p/x")
+
+
 @given(st.text(alphabet=string.printable, max_size=50), st.integers(0, 9))
 @settings(max_examples=50, deadline=None)
 def test_stable_hash_deterministic(s, seed):
@@ -89,3 +119,32 @@ def test_bloom_persistence_roundtrip(tmp_path):
 def test_bloom_partition_stable():
     assert partition_for_host("a.test", 8) == partition_for_host("a.test", 8)
     assert 0 <= partition_for_host("a.test", 8) < 8
+
+
+def test_bloom_same_wave_updates_merge(tmp_path):
+    """Two update_segment calls at the SAME wave must be cumulative
+    (run_wave admissions + a streamed admit_seeds batch at wave N) —
+    regression for the wave-1 seeding bug that dropped the first batch."""
+    from adscraper_spark.bloom import BloomStore
+
+    store = BloomStore(str(tmp_path), num_partitions=2,
+                       expected_keys_per_partition=100)
+    store.update_segment(0, 3, ["u1", "u2"])
+    store.update_segment(0, 3, ["u3"])
+    seg = store.load_segment(0, 3)
+    assert all(seg.might_contain(u) for u in ("u1", "u2", "u3"))
+
+
+def test_bloom_crash_tmp_file_ignored(tmp_path):
+    """A half-written tmp file (crash before rename) must not break
+    load_segment's wave scan — regression for 'wave-N.npy.tmp.npy'."""
+    from adscraper_spark.bloom import BloomStore
+
+    store = BloomStore(str(tmp_path), num_partitions=1,
+                       expected_keys_per_partition=100)
+    store.update_segment(0, 1, ["u1"])
+    d = tmp_path / "p0"
+    (d / ".tmp-wave-2.npy").write_bytes(b"torn")
+    (d / "wave-junk.npy").write_bytes(b"torn")  # unparseable stray
+    seg = store.load_segment(0, 5)
+    assert seg.might_contain("u1")
