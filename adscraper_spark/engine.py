@@ -43,7 +43,6 @@ from .bloom import BloomStore, partition_for_host
 from .config import CrawlConfig
 from .extraction.udfs import extract_pages
 from .hashing import stable_hash64
-from .robots import disallowed_checker, host_budgets, parse_robots
 from .scheduler import plan_wave
 from .store import SnapshotTable
 from .urlnorm import normalize_url, url_host, url_path
@@ -55,6 +54,7 @@ ADMITTED_SCHEMA = (
     "seq long, src_url string, ad_id long, state_initial string, "
     "wave_admitted int"
 )
+ADMITTED_COLS = [c.split()[0] for c in ADMITTED_SCHEMA.split(", ")]
 PROCESSED_SCHEMA = "url string, wave_fetched int, state_final string"
 
 
@@ -69,6 +69,30 @@ def _norm_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         })
         out["host"] = [url_host(u) if u else None for u in out["url"]]
         out["path"] = [url_path(u) if u else "/" for u in out["url"]]
+        yield out
+
+
+def _robots_disallowed(hosts, paths, robots_txts) -> list[bool]:
+    """Arrow-batch disallow gate; the per-host parse is lru-cached so a
+    batch with few distinct hosts costs ~one dict lookup per row."""
+    from .robots import policy_for
+    return [
+        t is not None and not policy_for(t).is_allowed(p or "/")
+        for t, p in zip(robots_txts, paths)
+    ]
+
+
+def _seed_state_batches(batches: Iterator[pd.DataFrame]
+                        ) -> Iterator[pd.DataFrame]:
+    """Final seed states: 'invalid' rows pass through; valid rows become
+    'disallowed'/'pending' per the joined robots_txt column."""
+    for pdf in batches:
+        blocked = _robots_disallowed(pdf["host"], pdf["path"],
+                                     pdf["robots_txt"])
+        out = pdf[ADMITTED_COLS].copy()
+        out["state_initial"] = [
+            s if s == "invalid" else ("disallowed" if b else "pending")
+            for s, b in zip(pdf["state_initial"], blocked)]
         yield out
 
 
@@ -90,20 +114,53 @@ class CrawlEngine:
         self.bloom = BloomStore(
             os.path.join(workdir, "bloom"), self.config.bloom_partitions,
             self.config.bloom_expected_per_partition)
-        # robots: tiny per-host dimension — driver-parsed, broadcast.
-        self.robots_rows: list[tuple[str, str]] = []
+        # robots: tiny per-host dimension — kept as a DataFrame and
+        # broadcast-joined wherever a gate needs it; the driver never
+        # collects it (at the 10^10 north rule this table is millions of
+        # hosts — a collected policy dict would ride every task closure).
+        self.robots_df: DataFrame | None = None
         if robots_path and os.path.exists(robots_path):
-            rdf = spark.read.parquet(robots_path)
-            self.robots_rows = [
-                (r["host"], r["robots_txt"]) for r in rdf.collect()]
-        self.budgets = host_budgets(
-            self.robots_rows, self.config.wave_seconds,
-            self.config.default_budget)
+            self.robots_df = spark.read.parquet(robots_path)
+        self.budgets_df = self._build_budgets_df()
         self._tables = {
             "admitted": self.admitted, "processed": self.processed,
             "results": self.results, "ads": self.ads,
             "requests": self.requests, "iframes": self.iframes,
         }
+
+    # ------------------------------------------------------------------
+    # robots dimension (distributed — no driver collect)
+    # ------------------------------------------------------------------
+    def _build_budgets_df(self) -> DataFrame | None:
+        """(host, host_budget) dimension parsed executor-side from the
+        robots table (W2 budgets); rides a broadcast join in plan_wave."""
+        if self.robots_df is None:
+            return None
+        wave_seconds = self.config.wave_seconds
+        default_budget = self.config.default_budget
+
+        def to_budget(batches: Iterator[pd.DataFrame]
+                      ) -> Iterator[pd.DataFrame]:
+            from .robots import policy_for
+            for pdf in batches:
+                yield pd.DataFrame({
+                    "host": pdf["host"],
+                    "host_budget": [
+                        policy_for(t).budget(wave_seconds, default_budget)
+                        for t in pdf["robots_txt"]],
+                })
+
+        return self.robots_df.mapInPandas(
+            to_budget, schema="host string, host_budget int").cache()
+
+    def _with_robots_txt(self, df: DataFrame) -> DataFrame:
+        """Attach the per-host robots body via a broadcast join (the
+        disallow gate runs inside the consumer's Arrow batch with a
+        cached parse — no policy dict in any closure)."""
+        if self.robots_df is None:
+            return df.withColumn("robots_txt",
+                                 F.lit(None).cast("string"))
+        return df.join(F.broadcast(self.robots_df), "host", "left")
 
     # ------------------------------------------------------------------
     # checkpoint manifest = the commit point (Z4)
@@ -146,10 +203,10 @@ class CrawlEngine:
     # bootstrap (wave 0 admission = the crawl list, S1/F1/F2)
     # ------------------------------------------------------------------
     def _seed_rows(self, seeds, wave_admitted: int) -> list[tuple]:
-        """Validate/normalize/dedup a seed batch → admitted-log rows.
-        First occurrence wins (reference Set semantics); invalid URLs are
-        quarantined with state 'invalid' (crawler.ts:191-200)."""
-        check_disallowed = disallowed_checker(self.robots_rows)
+        """Validate/normalize/dedup a seed batch → admitted-log rows with
+        a provisional state ('invalid' or 'pending'; the robots gate is
+        applied distributedly afterwards). First occurrence wins
+        (reference Set semantics; crawler.ts:191-200)."""
         rows = []
         seen: set[str] = set()
         for item in seeds:
@@ -165,27 +222,37 @@ class CrawlEngine:
             if norm in seen:
                 continue
             seen.add(norm)
-            host, path = url_host(norm), url_path(norm)
-            state = ("disallowed" if check_disallowed(host, path)
-                     else "pending")
-            rows.append((norm, host, path, 0, 0.0, int(seq), None, ad_id,
-                         state, wave_admitted))
+            rows.append((norm, url_host(norm), url_path(norm), 0, 0.0,
+                         int(seq), None, ad_id, "pending", wave_admitted))
         return rows
 
+    def _gated_seed_df(self, rows: list[tuple]) -> DataFrame:
+        """Seed rows → admitted-log DataFrame with the robots disallow
+        gate applied via broadcast join + Arrow batch (no policy dict on
+        the driver)."""
+        df = self.spark.createDataFrame(rows, ADMITTED_SCHEMA)
+        return (self._with_robots_txt(df)
+                .mapInPandas(_seed_state_batches, schema=ADMITTED_SCHEMA)
+                .select(*ADMITTED_COLS))
+
     def bootstrap(self, seeds: list[tuple[int, str]] |
-                  list[tuple[int, str, int | None]]) -> None:
+                  list[tuple[int, str, int | None]]) -> int:
         """Admit the seed list. seeds = [(seq, url)] or [(seq, url, ad_id)]
-        preserving reference list order (crawler.ts:295)."""
+        preserving reference list order (crawler.ts:295). Returns the
+        number of admitted rows."""
         if self.last_committed_wave() >= 0:
             raise RuntimeError(
                 "crawl already bootstrapped — resume with run(), or use a "
                 "fresh workdir (reference analog: crawl-name reuse check, "
                 "crawler.ts:229-283)")
         uniq = self._seed_rows(seeds, wave_admitted=0)
-        df = self.spark.createDataFrame(uniq, ADMITTED_SCHEMA)
+        df = self._gated_seed_df(uniq).cache()
+        n = df.count()
         self.admitted.append(df)
-        self._update_bloom(0, [(r[1] or "", r[0]) for r in uniq])
-        self._commit_wave(0, {"seeds": len(uniq)})
+        self._update_bloom_distributed(df, 0)
+        df.unpersist()
+        self._commit_wave(0, {"seeds": n})
+        return n
 
     def admit_seeds(self, seeds) -> int:
         """Incrementally admit a seed batch into a live crawl (streaming
@@ -193,8 +260,7 @@ class CrawlEngine:
         anti-join against the admitted log, so replayed batches are
         no-ops. Returns the number of newly admitted rows."""
         if self.last_committed_wave() < 0:
-            self.bootstrap(seeds)
-            return len(self._seed_rows(seeds, 0))
+            return self.bootstrap(seeds)
         wave = self.last_committed_wave() + 1
         rows = self._seed_rows(seeds, wave_admitted=wave)
         if not rows:
@@ -203,12 +269,16 @@ class CrawlEngine:
         existing = self.admitted.read(self.spark)
         if existing is not None:
             df = df.join(existing.select("url"), "url", "left_anti")
-        new = df.collect()  # seed batches are job-spec sized
-        if not new:
+        df = (self._with_robots_txt(df)
+              .mapInPandas(_seed_state_batches, schema=ADMITTED_SCHEMA)
+              .select(*ADMITTED_COLS).cache())
+        n_new = df.count()
+        if not n_new:
+            df.unpersist()
             return 0
-        self.admitted.append(
-            self.spark.createDataFrame(new, ADMITTED_SCHEMA))
-        self._update_bloom(wave, [(r["host"] or "", r["url"]) for r in new])
+        self.admitted.append(df)
+        self._update_bloom_distributed(df, wave)
+        df.unpersist()
         # Fold ONLY the admitted-log advance into the latest manifest.
         # Re-snapshotting every table here would pin half-committed
         # appends from a concurrently-running wave (rollback would then
@@ -220,13 +290,13 @@ class CrawlEngine:
         manifest["snapshots"]["admitted"] = \
             self.admitted.current_snapshot_id()
         stats = manifest.get("stats", {})
-        stats["late_seeds"] = stats.get("late_seeds", 0) + len(new)
+        stats["late_seeds"] = stats.get("late_seeds", 0) + n_new
         manifest["stats"] = stats
         tmp = self._manifest_path(last) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         os.rename(tmp, self._manifest_path(last))
-        return len(new)
+        return n_new
 
     # ------------------------------------------------------------------
     def pending_df(self) -> DataFrame:
@@ -250,21 +320,6 @@ class CrawlEngine:
         return pending
 
     # ------------------------------------------------------------------
-    def _update_bloom(self, wave: int, host_urls: list[tuple[str, str]]
-                      ) -> None:
-        """Driver-light bloom segment update. host_urls rows are already
-        the NEW admissions only (small per wave); grouped per partition.
-
-        At cluster scale this becomes applyInPandas over the partition id
-        writing segments executor-side; in local mode the loop below is
-        the same I/O without a shuffle."""
-        by_part: dict[int, list[str]] = {}
-        for host, url in host_urls:
-            p = partition_for_host(host, self.config.bloom_partitions)
-            by_part.setdefault(p, []).append(url)
-        for p, urls in by_part.items():
-            self.bloom.update_segment(p, wave, urls)
-
     def _update_bloom_distributed(self, admissions: DataFrame,
                                   wave: int) -> None:
         """Per-partition segment update on executors: group admissions by
@@ -343,7 +398,8 @@ class CrawlEngine:
         planned = plan_wave(
             pending.select("url", "host", "path", "depth", "priority",
                            "seq", "src_url", "ad_id"),
-            self.budgets, cfg.default_budget, cfg.salt_fanout)
+            self.budgets_df if self.budgets_df is not None else {},
+            cfg.default_budget, cfg.salt_fanout)
         planned = planned.cache()
         # one job: wave size + approx distinct hosts (lineage metric,
         # SURVEY §2.4 — sketch, not exact, so no extra shuffle width)
@@ -461,13 +517,13 @@ class CrawlEngine:
             maybe = cand.filter(F.col("maybe_seen")).drop("maybe_seen")
             admitted_urls = self.admitted.read(spark).select("url")
             confirmed = maybe.join(admitted_urls, "url", "left_anti")
-            new = fresh.unionByName(confirmed)
-
-            check_d = disallowed_checker(self.robots_rows)
+            new = self._with_robots_txt(fresh.unionByName(confirmed))
 
             def finish(batches: Iterator[pd.DataFrame]
                        ) -> Iterator[pd.DataFrame]:
                 for pdf in batches:
+                    blocked = _robots_disallowed(
+                        pdf["host"], pdf["path"], pdf["robots_txt"])
                     out = pd.DataFrame({
                         "url": pdf["url"],
                         "host": pdf["host"],
@@ -481,8 +537,8 @@ class CrawlEngine:
                         "ad_id": pd.Series([None] * len(pdf),
                                            dtype="object"),
                         "state_initial": [
-                            "disallowed" if check_d(h, p) else "pending"
-                            for h, p in zip(pdf["host"], pdf["path"])],
+                            "disallowed" if b else "pending"
+                            for b in blocked],
                         "wave_admitted": wave + 1,
                     })
                     yield out

@@ -97,6 +97,13 @@ def parse_robots(body: str | None) -> RobotsPolicy:
     return RobotsPolicy(allows=tuple(rules), crawl_delay=delay)
 
 
+@lru_cache(maxsize=4096)
+def policy_for(body: str | None) -> RobotsPolicy:
+    """Cached parse — executors see few distinct robots bodies per task
+    batch, so the per-row gate amortizes to a dict lookup."""
+    return parse_robots(body)
+
+
 def host_budgets(robots_rows: list[tuple[str, str]], wave_seconds: float,
                  default_budget: int) -> dict[str, int]:
     """host → per-wave admission budget. The robots table is a tiny

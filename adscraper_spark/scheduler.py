@@ -34,18 +34,22 @@ def budgets_df(spark, budgets: dict[str, int], default_budget: int):
     return df
 
 
-def plan_wave(pending: DataFrame, budgets: dict[str, int],
+def plan_wave(pending: DataFrame, budgets: dict[str, int] | DataFrame,
               default_budget: int,
               salt_fanout: int = DEFAULT_SALT_FANOUT) -> DataFrame:
     """Select this wave's fetch set from pending frontier rows.
 
     ``pending`` needs columns (url, host, priority, seq). Budgets ride a
     broadcast join (robots dimension is one row per host — always small
-    relative to the frontier). Returns the planned rows with a stable
-    ``host_rank``.
+    relative to the frontier); pass them as a ``(host, host_budget)``
+    DataFrame (the no-driver-collect path) or a plain dict (tests).
+    Returns the planned rows with a stable ``host_rank``.
     """
     spark = pending.sparkSession
-    bdf = budgets_df(spark, budgets, default_budget)
+    if isinstance(budgets, DataFrame):
+        bdf = budgets
+    else:
+        bdf = budgets_df(spark, budgets, default_budget)
     planned = (
         pending
         .join(F.broadcast(bdf), "host", "left")

@@ -72,6 +72,37 @@ def test_scheduler_budget_dimension_broadcasts(spark):
     assert "host" in plan and "salt" in plan
 
 
+def test_robots_gate_broadcasts_no_driver_collect(spark, tmp_path):
+    """The robots dimension must ride a broadcast join into the seed /
+    admission gates — never a driver-collected policy dict captured in
+    task closures (VERDICT r1 scale-killer #1)."""
+    from adscraper_spark.config import CrawlConfig
+    from adscraper_spark.engine import CrawlEngine
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    pq.write_table(pa.Table.from_pylist(
+        [{"host": "h.test",
+          "robots_txt": "User-agent: *\nDisallow: /private/\n"}],
+        schema=pa.schema([("host", pa.string()),
+                          ("robots_txt", pa.string())])),
+        str(tmp_path / "robots.parquet"))
+    eng = CrawlEngine(spark, str(tmp_path / "nopages.parquet"),
+                      str(tmp_path / "robots.parquet"),
+                      str(tmp_path / "w"), CrawlConfig())
+    gated = eng._gated_seed_df(
+        eng._seed_rows([(0, "https://h.test/a"),
+                        (1, "https://h.test/private/x")], 0))
+    plan = _plan(gated)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    states = {r["url"]: r["state_initial"] for r in gated.collect()}
+    assert states["https://h.test/a"] == "pending"
+    assert states["https://h.test/private/x"] == "disallowed"
+    # budgets dimension is a (host, host_budget) DataFrame, not a dict
+    assert eng.budgets_df is not None
+    assert eng.budgets_df.collect()[0]["host_budget"] >= 1
+
+
 def test_extraction_stage_partition_count(spark):
     """The UDF stage must run at full parallelism, not at AQE's
     byte-coalesced partition count (engine.py repartition rationale)."""
