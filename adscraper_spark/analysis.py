@@ -9,7 +9,9 @@ fetched page meets a criterion (isProbablyReaderable for findArticle;
 ads>0 for findPageWithAds).
 
 Deterministic re-expression (SURVEY §2.6 L1): the random order becomes
-``xxhash64(link, seed)`` ranking; "up to 20 guesses" becomes rank ≤ 20;
+``md5(seed|link)`` hex ranking (identical in Spark, DuckDB and Python —
+so the operator is fully oracle-checkable); "up to 20 guesses" becomes
+rank ≤ 20;
 "first match" becomes min-rank among criterion-satisfying candidates
 (W3). Candidates are "fetched" via the corpus join + extraction UDF —
 one batch plan instead of per-page navigation.
@@ -45,8 +47,20 @@ def _candidate_links(spark: SparkSession, pages_path: str,
              .filter(F.col("link") != F.col("src_url"))
              .select("src_url", "link").distinct())              # F5
     w = Window.partitionBy("src_url").orderBy(
-        F.xxhash64("link", F.lit(seed)), F.col("link"))
+        guess_hash_col(seed), F.col("link"))
     return links.withColumn("guess_rank", F.row_number().over(w))
+
+
+def guess_hash_col(seed: int):
+    """Seeded candidate-order hash (L1). md5 hex so Spark, DuckDB and
+    the pure-Python oracle rank identically."""
+    return F.md5(F.concat_ws("|", F.lit(str(seed)), F.col("link")))
+
+
+def guess_hash_py(seed: int, link: str) -> str:
+    import hashlib
+
+    return hashlib.md5(f"{seed}|{link}".encode("utf-8")).hexdigest()
 
 
 def _first_match(cands: DataFrame, fetched_ok: DataFrame) -> DataFrame:

@@ -1,0 +1,205 @@
+"""Crawl-engine parity queries — the SURVEY §2 engine surface
+(S6/J7/U-suite/Z-suite, J2/J3 analysis joins) as oracle-checkable
+CORRECTNESS entries.
+
+Each Spark query recomputes its answer through the distributed plans
+(wave loop, extraction UDF, explodes, joins); each oracle is plain SQL
+over parquet materialized by the PURE-PYTHON sequential paths
+(oracle_data.py: simulator trace, oracle extractor, link/ad graph), so
+the driver's rows/schema/hash compare is engine-vs-oracle, not
+self-comparison.
+
+Reference anchors: crawl loop crawler/src/crawler.ts:295-442; extraction
+invariant adscraper.sql:166 + find-page.ts:247-250; analysis joins
+README.md:305-330; subpage exploration find-page.ts:69-163.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..oracle_data import (
+    FIND_SEED, N_SEEDS, artifact_paths, engine_config,
+    ensure_oracle_artifacts, find_sources, oracle_spec,
+)
+
+_P = artifact_paths()
+
+
+def crawl_engine_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end crawl over the deterministic synthetic corpus: seeds →
+    politeness-scheduled waves → fetch-join → extraction UDFs → frontier
+    admission → results table. Oracle = the sequential simulator's
+    fetched-page trace (crawler.ts:295-442 loop semantics)."""
+    from ..corpus import gen_seeds
+    from ..engine import CrawlEngine
+
+    p = ensure_oracle_artifacts()
+    work = tempfile.mkdtemp(prefix="adscraper_spark_e2e_")
+    eng = CrawlEngine(spark, p["pages"], p["robots"], work,
+                      engine_config())
+    eng.bootstrap([(i, u)
+                   for i, u in enumerate(gen_seeds(oracle_spec(),
+                                                   N_SEEDS))])
+    eng.run()
+    res = eng.results.read(spark)
+    return (res.select(
+        "url", F.col("wave").cast("long").alias("wave"), "host",
+        F.col("depth").cast("long").alias("depth"), "text",
+        F.col("n_ads").cast("long").alias("n_ads"), "readerable", "lang")
+        .orderBy("wave", "url"))
+
+
+CRAWL_ENGINE_E2E_SQL = f"""
+SELECT url, CAST(wave AS BIGINT) AS wave, host,
+       CAST(depth AS BIGINT) AS depth, text,
+       CAST(n_ads AS BIGINT) AS n_ads, readerable, lang
+FROM read_parquet('{_P["trace"]}')
+ORDER BY wave, url
+"""
+
+
+def extraction_udf_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vectorized extraction surface (U1-U10) over the corpus html —
+    per-url text/link/ad/rss counts recomputed by the Arrow UDF; oracle =
+    the pure-Python extractor's precomputed table (byte-identical text is
+    part of the hash compare)."""
+    from ..extraction.udfs import extract_pages
+
+    p = ensure_oracle_artifacts()
+    pages = spark.read.parquet(p["pages"]).select("url", "html")
+    par = spark.sparkContext.defaultParallelism
+    out = extract_pages(pages.repartition(par, "url"))
+    return (out.select(
+        "url", "text",
+        F.size("links").cast("long").alias("n_links"),
+        F.col("n_ads").cast("long").alias("n_ads"), "readerable",
+        F.size("rss_urls").cast("long").alias("n_rss"))
+        .orderBy("url"))
+
+
+EXTRACTION_UDF_DEMO_SQL = f"""
+SELECT url, text, n_links, n_ads, readerable, n_rss
+FROM read_parquet('{_P["extract"]}')
+ORDER BY url
+"""
+
+
+def find_articles_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SubpageExplorer findArticle analog (find-page.ts:69-163): per
+    source page, the first same-host candidate in seeded-md5 order (≤20
+    guesses) whose page is probably readerable."""
+    from ..analysis import find_articles
+
+    p = ensure_oracle_artifacts()
+    src_df = spark.createDataFrame([(u,) for u in find_sources()],
+                                   "url string")
+    return (find_articles(spark, p["pages"], src_df, seed=FIND_SEED)
+            .select("src_url", "found_url",
+                    F.col("guess_rank").cast("long").alias("guess_rank"))
+            .orderBy("src_url"))
+
+
+def _find_articles_sql() -> str:
+    srcs = ", ".join(f"'{u}'" for u in find_sources())
+    return f"""
+WITH cand AS (
+  SELECT DISTINCT src_url, link
+  FROM read_parquet('{_P["links"]}')
+  WHERE src_url IN ({srcs}) AND link_host = src_host AND link <> src_url
+),
+ranked AS (
+  SELECT src_url, link,
+         row_number() OVER (PARTITION BY src_url
+                            ORDER BY md5('{FIND_SEED}|' || link), link)
+           AS guess_rank
+  FROM cand
+),
+hits AS (
+  SELECT r.src_url, r.link, r.guess_rank
+  FROM ranked r JOIN read_parquet('{_P["extract"]}') e ON e.url = r.link
+  WHERE r.guess_rank <= 20 AND e.readerable
+)
+SELECT src_url, link AS found_url, CAST(guess_rank AS BIGINT) AS guess_rank
+FROM (SELECT *, row_number() OVER (PARTITION BY src_url
+                                   ORDER BY guess_rank) AS rn FROM hits)
+WHERE rn = 1 ORDER BY src_url
+"""
+
+
+def j3_ads_per_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: ads merged to their parent page (README.md:320 pandas-merge
+    analog) — UDF-extracted ads exploded to rows, equi-joined back to
+    page metadata."""
+    from ..extraction.udfs import extract_pages
+
+    p = ensure_oracle_artifacts()
+    pages = spark.read.parquet(p["pages"])
+    par = spark.sparkContext.defaultParallelism
+    ex = extract_pages(pages.select("url", "html").repartition(par, "url"))
+    ads = (ex.select("url", F.posexplode("ads").alias("ad_index", "ad"))
+           .select("url", F.col("ad_index").cast("long").alias("ad_index"),
+                   F.col("ad.selector").alias("selector"),
+                   F.col("ad.platform").alias("platform")))
+    return (ads.join(pages.select("url", "lang"), "url")
+            .select("url", "ad_index", "selector", "platform", "lang")
+            .orderBy("url", "ad_index"))
+
+
+J3_ADS_PER_PAGE_SQL = f"""
+SELECT a.url, a.ad_index, a.selector, a.platform, p.lang
+FROM read_parquet('{_P["ads"]}') a
+JOIN read_parquet('{_P["pages"]}') p USING (url)
+ORDER BY a.url, a.ad_index
+"""
+
+
+def j2_ad_domain_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/A1: ad-domain popularity (README.md:323-329 value_counts) —
+    every external URL harvested from every detected ad, grouped by
+    target host."""
+    from ..extraction.udfs import extract_pages
+
+    p = ensure_oracle_artifacts()
+    pages = spark.read.parquet(p["pages"]).select("url", "html")
+    par = spark.sparkContext.defaultParallelism
+    ex = extract_pages(pages.repartition(par, "url"))
+    ad = ex.select("url", F.explode("ads").alias("ad"))
+    parts = [
+        ad.select(F.explode(F.col(f"ad.{c}")).alias("target_url"))
+        for c in ("anchor_hrefs", "iframe_srcs", "script_srcs", "img_srcs")
+    ]
+    urls = parts[0]
+    for q in parts[1:]:
+        urls = urls.unionAll(q)
+    return (urls
+            .select(F.lower(F.parse_url("target_url", F.lit("HOST")))
+                    .alias("ad_domain"))
+            .groupBy("ad_domain").agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), "ad_domain"))
+
+
+J2_AD_DOMAIN_COUNTS_SQL = f"""
+SELECT target_host AS ad_domain, CAST(count(*) AS BIGINT) AS n
+FROM read_parquet('{_P["ad_urls"]}')
+GROUP BY 1 ORDER BY n DESC, ad_domain
+"""
+
+
+QUERIES = {
+    "crawl_engine_e2e": crawl_engine_e2e,
+    "extraction_udf_demo": extraction_udf_demo,
+    "find_articles_demo": find_articles_demo,
+    "j3_ads_per_page": j3_ads_per_page,
+    "j2_ad_domain_counts": j2_ad_domain_counts,
+}
+ORACLES = {
+    "crawl_engine_e2e": CRAWL_ENGINE_E2E_SQL,
+    "extraction_udf_demo": EXTRACTION_UDF_DEMO_SQL,
+    "find_articles_demo": _find_articles_sql(),
+    "j3_ads_per_page": J3_ADS_PER_PAGE_SQL,
+    "j2_ad_domain_counts": J2_AD_DOMAIN_COUNTS_SQL,
+}

@@ -26,6 +26,8 @@ class SimResult:
     seen: set[str] = field(default_factory=set)
     states: dict[str, str] = field(default_factory=dict)
     admitted_from: dict[str, str | None] = field(default_factory=dict)
+    depths: dict[str, int] = field(default_factory=dict)
+    hosts: dict[str, str | None] = field(default_factory=dict)
 
 
 def simulate_crawl(pages: dict[str, bytes],
@@ -124,4 +126,6 @@ def simulate_crawl(pages: dict[str, bytes],
         seen=set(frontier.keys()),
         states={u: e["state"] for u, e in frontier.items()},
         admitted_from=admitted_from,
+        depths={u: e["depth"] for u, e in frontier.items()},
+        hosts={u: e["host"] for u, e in frontier.items()},
     )

@@ -23,10 +23,9 @@ def corpus2(tmp_path_factory):
 
 def _oracle(rows, sources, criterion, seed, spark):
     """Same semantics, sequential: per source, same-host distinct links
-    ranked by xxhash64(link, seed); first of ≤20 whose page satisfies
-    the criterion."""
-    import pandas as pd
-    from pyspark.sql import functions as F
+    ranked by md5(seed|link); first of ≤20 whose page satisfies the
+    criterion. Hash computed with hashlib — fully independent of Spark."""
+    from adscraper_spark.analysis import guess_hash_py
 
     out = {}
     for src in sources:
@@ -36,13 +35,7 @@ def _oracle(rows, sources, criterion, seed, spark):
             if url_host(ln) == url_host(src) and ln != src})
         if not cands:
             continue
-        # rank by Spark's xxhash64 (evaluated via a tiny local DF so the
-        # oracle shares the exact hash function)
-        hdf = spark.createDataFrame(pd.DataFrame({"link": cands}))
-        hashed = {r["link"]: r["h"] for r in
-                  hdf.withColumn("h", F.xxhash64("link", F.lit(seed)))
-                  .collect()}
-        ranked = sorted(cands, key=lambda u: (hashed[u], u))
+        ranked = sorted(cands, key=lambda u: (guess_hash_py(seed, u), u))
         for rank, ln in enumerate(ranked[:MAX_GUESSES], start=1):
             page = rows.get(ln)
             if page is None:
