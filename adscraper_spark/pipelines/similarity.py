@@ -40,11 +40,30 @@ def _norm(a):
         lambda acc, v: acc + v.cast("double") * v.cast("double")))
 
 
+TOPK_SHARDS = 32
+
+
+def _two_phase_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Distributed per-query top-k: phase 1 keeps k rows per
+    (qid, shard) — a 10^9-row corpus spreads over TOPK_SHARDS tasks per
+    query instead of funnelling into N_QUERIES single-task sorts — then
+    phase 2 re-ranks the ≤ k·TOPK_SHARDS survivors per qid (tiny). Same
+    pattern as the scheduler's salted host queue (scheduler.py)."""
+    shard = F.pmod(F.xxhash64("vec_id"), F.lit(TOPK_SHARDS)).cast("int")
+    w1 = Window.partitionBy("qid", "shard").orderBy(
+        F.desc("cos"), F.asc("vec_id"))
+    survivors = (scored.withColumn("shard", shard)
+                 .withColumn("r", F.row_number().over(w1))
+                 .filter(F.col("r") <= k).drop("r", "shard"))
+    w2 = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (survivors.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k))
+
+
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k by cosine for each query vector. Query side is tiny →
-    broadcast nested loop; corpus side streams. One shuffle: the
-    per-query window top-k (partitioned by qid — N_QUERIES partitions,
-    each holding only corpus-size rows after the cheap map)."""
+    broadcast nested loop; corpus side streams; the top-k is the
+    two-phase partial pattern (no single-task per-query sort)."""
     emb = _emb(spark, sf_dir)
     q = (emb.filter(F.col("vec_id") < N_QUERIES)
          .select(F.col("vec_id").alias("qid"),
@@ -54,9 +73,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (emb.crossJoin(F.broadcast(q))
               .filter(F.col("vec_id") != F.col("qid"))
               .select("qid", "vec_id", cos.alias("cos")))
-    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= TOP_K)
+    return (_two_phase_topk(scored, TOP_K)
             .select("qid", "rank", "vec_id",
                     F.round("cos", 4).alias("cos"))
             .orderBy("qid", "rank"))
@@ -95,21 +112,28 @@ def _hyperplanes(dim: int) -> list[list[float]]:
     ]
 
 
-def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketing + within-bucket exact cosine — the ANN scale
-    path. Bucket key = sign bits of LSH_PLANES projections; candidate
-    set per query = its bucket only (recall < 1 by design; the oracle
-    covers the bucketing itself, which is deterministic)."""
-    emb = _emb(spark, sf_dir)
-    dim = len(emb.select("embedding").first()["embedding"])
+def _bucket_col(dim: int, emb_col="embedding"):
+    """Sign-LSH bucket signature: LSH_PLANES bits, '1' where the
+    projection onto the md5-derived hyperplane is positive."""
     planes = _hyperplanes(dim)
     planes_col = F.array(*[
         F.array(*[F.lit(v) for v in row]) for row in planes])
-    sig = F.concat(*[
-        F.when(_dot(F.col("embedding"),
+    return F.concat(*[
+        F.when(_dot(F.col(emb_col),
                     F.element_at(planes_col, p + 1)) > 0,
                F.lit("1")).otherwise(F.lit("0"))
         for p in range(LSH_PLANES)])
+
+
+def _embedding_dim(emb: DataFrame) -> int:
+    return len(emb.select("embedding").first()["embedding"])
+
+
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucket layout stats (the partitioning the ANN search
+    path joins on — see ann_lsh_search for the search itself)."""
+    emb = _emb(spark, sf_dir)
+    sig = _bucket_col(_embedding_dim(emb))
     bucketed = emb.select("vec_id", "label", sig.alias("bucket"))
     return (bucketed.groupBy("bucket")
             .agg(F.count("*").alias("n_vecs"),
@@ -117,15 +141,7 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("bucket"))
 
 
-def ann_lsh_buckets_sql() -> str:
-    # hyperplanes are md5-derived constants — inline them (dim is fixed
-    # per dataset; DuckDB evaluates the same dot products exactly).
-    # The literal plane values are generated by the same stable_hash64,
-    # so this oracle is assembled at call time by the entry module.
-    raise NotImplementedError  # built dynamically in make_lsh_sql
-
-
-def make_lsh_sql(dim: int) -> str:
+def _lsh_sig_sql(dim: int) -> str:
     planes = _hyperplanes(dim)
     bit_exprs = []
     for p in range(LSH_PLANES):
@@ -133,11 +149,169 @@ def make_lsh_sql(dim: int) -> str:
         bit_exprs.append(
             "(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
             f"CAST({arr} AS DOUBLE[])) > 0 THEN '1' ELSE '0' END)")
-    sig = " || ".join(bit_exprs)
+    return " || ".join(bit_exprs)
+
+
+def make_lsh_sql(dim: int) -> str:
     return f"""
-WITH b AS (SELECT vec_id, {sig} AS bucket FROM embeddings)
+WITH b AS (SELECT vec_id, {_lsh_sig_sql(dim)} AS bucket FROM embeddings)
 SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec_id
 FROM b GROUP BY bucket ORDER BY bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# ANN search through the LSH buckets (the scale path): banded bucket
+# join → within-bucket exact cosine → two-phase top-k. Recall < 1 by
+# design (LSH); the pytest suite measures it against the exact path.
+# At 10^9 vectors the band join touches only colliding (band, key)
+# groups — candidates ∝ collisions, never corpus × queries — and
+# LSH_PLANES/BITS_PER_BAND grow with log(n) to keep buckets bounded.
+# ---------------------------------------------------------------------------
+
+LSH_BANDS = 4
+BITS_PER_BAND = LSH_PLANES // LSH_BANDS
+# Band width is a corpus-size knob: 2^BITS_PER_BAND keys per band should
+# be ~n/bucket_target. 3 bits fits the small driver testdata (the
+# synthetic embeddings are near-uniform — max pair cosine ≈0.5, so
+# narrow bands are needed for any recall); a 10^9-vector corpus would
+# run 4 bands × 24-32 bits from a longer signature.
+
+
+def _band_rows(bucketed: DataFrame) -> DataFrame:
+    """(vec_id, band, bkey) — one row per band, key = the band's bit
+    slice of the signature. No embedding payload rides the band join."""
+    parts = [
+        bucketed.select(
+            "vec_id", F.lit(b).alias("band"),
+            F.substring("bucket", b * BITS_PER_BAND + 1,
+                        BITS_PER_BAND).alias("bkey"))
+        for b in range(LSH_BANDS)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def _bands_sql(dim: int) -> str:
+    rows = []
+    for b in range(LSH_BANDS):
+        rows.append(f"SELECT vec_id, {b} AS band, "
+                    f"substr(bucket, {b * BITS_PER_BAND + 1}, "
+                    f"{BITS_PER_BAND}) AS bkey FROM b")
+    return " UNION ALL ".join(rows)
+
+
+def ann_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: candidates = vectors sharing ≥1 LSH band with
+    the query, exact cosine only on those, two-phase top-k."""
+    emb = _emb(spark, sf_dir)
+    dim = _embedding_dim(emb)
+    bucketed = emb.select("vec_id", _bucket_col(dim).alias("bucket"))
+    bands = _band_rows(bucketed)
+    qbands = (bands.filter(F.col("vec_id") < N_QUERIES)
+              .select(F.col("vec_id").alias("qid"), "band", "bkey"))
+    cand = (bands.join(F.broadcast(qbands), ["band", "bkey"])
+            .filter(F.col("vec_id") != F.col("qid"))
+            .select("qid", "vec_id").distinct())
+    qv = (emb.filter(F.col("vec_id") < N_QUERIES)
+          .select(F.col("vec_id").alias("qid"),
+                  F.col("embedding").alias("qv")))
+    cos = (_dot(F.col("embedding"), F.col("qv"))
+           / (_norm(F.col("embedding")) * _norm(F.col("qv"))))
+    scored = (cand.join(emb, "vec_id").join(F.broadcast(qv), "qid")
+              .select("qid", "vec_id", cos.alias("cos")))
+    return (_two_phase_topk(scored, TOP_K)
+            .select("qid", "rank", "vec_id",
+                    F.round("cos", 4).alias("cos"))
+            .orderBy("qid", "rank"))
+
+
+def make_lsh_search_sql(dim: int) -> str:
+    return f"""
+WITH b AS (SELECT vec_id, embedding, {_lsh_sig_sql(dim)} AS bucket
+           FROM embeddings),
+bands AS ({_bands_sql(dim)}),
+qb AS (SELECT vec_id AS qid, band, bkey FROM bands
+       WHERE vec_id < {N_QUERIES}),
+cand AS (
+  SELECT DISTINCT qb.qid, bands.vec_id
+  FROM bands JOIN qb USING (band, bkey)
+  WHERE bands.vec_id <> qb.qid
+),
+scored AS (
+  SELECT c.qid, c.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                CAST(q.embedding AS DOUBLE[])) AS cos
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN embeddings q ON q.vec_id = c.qid
+),
+ranked AS (
+  SELECT qid, vec_id, cos,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT qid, rank, vec_id, round(cos, 4) AS cos
+FROM ranked WHERE rank <= {TOP_K} ORDER BY qid, rank
+"""
+
+
+NEAR_DUP_LSH_THRESHOLD = 0.4  # top ~0.05% of pairs in the near-uniform
+                              # synthetic embeddings (real near-dup
+                              # corpora would sit at 0.9+)
+
+
+def near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs through the banded LSH buckets —
+    the scale path that replaces the all-pairs crossJoin: candidate
+    pairs ∝ band collisions, verified with exact cosine ≥ 0.9. The
+    bounded crossJoin (near_dup_embeddings) stays as the exactness
+    oracle the pytest recall check compares against."""
+    emb = _emb(spark, sf_dir)
+    dim = _embedding_dim(emb)
+    bucketed = emb.select("vec_id", _bucket_col(dim).alias("bucket"))
+    bands = _band_rows(bucketed)
+    left = bands.select(F.col("vec_id").alias("a"), "band", "bkey")
+    right = bands.select(F.col("vec_id").alias("b"), "band", "bkey")
+    cand = (left.join(right, ["band", "bkey"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b").distinct())
+    ea = emb.select(F.col("vec_id").alias("a"),
+                    F.col("embedding").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("b"),
+                    F.col("embedding").alias("vb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        _norm(F.col("va")) * _norm(F.col("vb")))
+    return (cand.join(ea, "a").join(eb, "b")
+            .select("a", "b", F.round(cos, 4).alias("cos"))
+            .filter(F.col("cos") >= NEAR_DUP_LSH_THRESHOLD)
+            .orderBy("a", "b"))
+
+
+def make_near_dup_lsh_sql(dim: int) -> str:
+    return f"""
+WITH b AS (SELECT vec_id, embedding, {_lsh_sig_sql(dim)} AS bucket
+           FROM embeddings),
+bands AS ({_bands_sql(dim)}),
+cand AS (
+  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.bkey = r.bkey AND l.vec_id < r.vec_id
+)
+SELECT c.a, c.b,
+       round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                    CAST(eb.embedding AS DOUBLE[])), 4)
+         AS cos
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.a
+JOIN embeddings eb ON eb.vec_id = c.b
+WHERE round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                   CAST(eb.embedding AS DOUBLE[])), 4)
+      >= {NEAR_DUP_LSH_THRESHOLD}
+ORDER BY c.a, c.b
 """
 
 
@@ -175,10 +349,14 @@ EMBEDDING_DIM = 64  # fixed across all driver testdata scale factors
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_buckets": ann_lsh_buckets,
+    "ann_lsh_search": ann_lsh_search,
     "near_dup_embeddings": near_dup_embeddings,
+    "near_dup_lsh": near_dup_lsh,
 }
 ORACLES = {
     "ann_cosine_topk": ANN_COSINE_TOPK_SQL,
     "ann_lsh_buckets": make_lsh_sql(EMBEDDING_DIM),
+    "ann_lsh_search": make_lsh_search_sql(EMBEDDING_DIM),
     "near_dup_embeddings": NEAR_DUP_EMBEDDINGS_SQL,
+    "near_dup_lsh": make_near_dup_lsh_sql(EMBEDDING_DIM),
 }
