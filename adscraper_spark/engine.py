@@ -265,7 +265,59 @@ class CrawlEngine:
         rows = self._seed_rows(seeds, wave_admitted=wave)
         if not rows:
             return 0
-        df = self.spark.createDataFrame(rows, ADMITTED_SCHEMA)
+        return self._append_admissions(
+            self.spark.createDataFrame(rows, ADMITTED_SCHEMA), wave)
+
+    def admit_seeds_df(self, seeds_df: DataFrame) -> int:
+        """Distributed admit_seeds for streamed batches: the batch never
+        reaches the driver (a real seed FEED at frontier scale would OOM
+        a collect); normalize/validate in Arrow batches, first-occurrence
+        dedup by seq, then the same anti-join + robots-gate commit.
+        ``seeds_df`` columns: (seq long, url string, ad_id long)."""
+        if self.last_committed_wave() < 0:
+            # bootstrap keeps strict list order — job-spec sized by
+            # definition (crawler.ts:146-156 reads it into memory too)
+            rows = [(r["seq"], r["url"], r["ad_id"])
+                    for r in seeds_df.collect()]
+            return self.bootstrap(rows)
+        wave = self.last_committed_wave() + 1
+
+        def norm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                urls, hosts, paths, states = [], [], [], []
+                for u in pdf["url"]:
+                    n = normalize_url(u)
+                    if n is None:
+                        urls.append(u)
+                        hosts.append(None)
+                        paths.append(None)
+                        states.append("invalid")
+                    else:
+                        urls.append(n)
+                        hosts.append(url_host(n))
+                        paths.append(url_path(n))
+                        states.append("pending")
+                yield pd.DataFrame({
+                    "url": urls, "host": hosts, "path": paths,
+                    "depth": 0, "priority": 0.0, "seq": pdf["seq"],
+                    "src_url": pd.Series([None] * len(pdf),
+                                         dtype="object"),
+                    "ad_id": pdf["ad_id"],
+                    "state_initial": states, "wave_admitted": wave,
+                })
+
+        df = seeds_df.mapInPandas(norm, schema=ADMITTED_SCHEMA)
+        # first occurrence wins (reference Set semantics): min-seq row
+        rest = [c for c in ADMITTED_COLS if c != "url"]
+        df = (df.groupBy("url")
+              .agg(F.min(F.struct("seq", *[c for c in rest
+                                           if c != "seq"])).alias("m"))
+              .select("url", *[F.col(f"m.{c}").alias(c) for c in rest]))
+        return self._append_admissions(df, wave)
+
+    def _append_admissions(self, df: DataFrame, wave: int) -> int:
+        """Shared admit tail: anti-join the admitted log, robots gate,
+        snapshot append + distributed bloom update + manifest fold."""
         existing = self.admitted.read(self.spark)
         if existing is not None:
             df = df.join(existing.select("url"), "url", "left_anti")

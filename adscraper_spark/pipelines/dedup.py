@@ -74,18 +74,25 @@ _SHINGLES_SQL = f"""
 # MinHash + LSH band-bucket join
 # ---------------------------------------------------------------------------
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NUM_MINHASHES min-aggregations over salted md5 of shingles —
-    one explode + one groupBy (single shuffle); the signature is exact
-    relational algebra, no UDF."""
-    doc = _docs(spark, sf_dir)
-    sh = (doc.select("doc_id", F.explode(_shingles_col()).alias("sh")))
+def _shingle_df(doc: DataFrame) -> DataFrame:
+    return doc.select("doc_id", F.explode(_shingles_col()).alias("sh"))
+
+
+def _signatures_from(sh: DataFrame) -> DataFrame:
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")).cast("binary")))
         .alias(f"mh{i}")
         for i in range(NUM_MINHASHES)
     ]
-    return sh.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NUM_MINHASHES min-aggregations over salted md5 of shingles —
+    one explode + one groupBy (single shuffle); the signature is exact
+    relational algebra, no UDF."""
+    return _signatures_from(_shingle_df(_docs(spark, sf_dir))) \
+        .orderBy("doc_id")
 
 
 def _minhash_sql_core() -> str:
@@ -103,13 +110,15 @@ MINHASH_SIGNATURES_SQL = (
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs via LSH banding, verified with exact
-    Jaccard. Plan shape: signatures (1 shuffle) → band explode →
-    self-join on band key (shuffle on tiny band-key rows, never on
-    text) → verify only colliding pairs via shingle co-group.
-    At 100 TB the verify join is the expensive part and is proportional
-    to collisions, not to corpus²."""
+    Jaccard. Plan shape: shingle explode ONCE (cached — both the
+    signature and the verify join read it), signatures (1 shuffle) →
+    band explode → self-join on band key (shuffle on tiny band-key
+    rows, never on text) → verify only colliding pairs via shingle
+    co-group. At 100 TB the verify join is the expensive part and is
+    proportional to collisions, not to corpus²."""
     doc = _docs(spark, sf_dir)
-    sig = minhash_signatures(spark, sf_dir)
+    sh = _shingle_df(doc).cache()
+    sig = _signatures_from(sh)
     bands = []
     for b in range(BANDS):
         cols = [F.col(f"mh{b * ROWS_PER_BAND + r}")
@@ -130,8 +139,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("l.doc_id").alias("doc_a"),
                     F.col("r.doc_id").alias("doc_b"))
             .distinct())
-    # exact-Jaccard verification of candidates only
-    sh = doc.select("doc_id", F.explode(_shingles_col()).alias("sh"))
+    # exact-Jaccard verification of candidates only (shared shingle DF)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
     sh_b = sh.select(F.col("doc_id").alias("doc_b"),

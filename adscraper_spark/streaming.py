@@ -38,10 +38,10 @@ def admit_seed_stream(engine: CrawlEngine, seeds_dir: str,
     spark = engine.spark
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        rows = [(r["seq"], r["url"], r["ad_id"])
-                for r in batch_df.collect()]
-        if rows:
-            engine.admit_seeds(rows)
+        # fully distributed: the batch flows normalize→dedup→anti-join→
+        # append without a driver collect (a real seed feed can be
+        # arbitrarily large; engine.admit_seeds_df scales with executors)
+        engine.admit_seeds_df(batch_df)
 
     stream = (spark.readStream.schema(SEED_STREAM_SCHEMA)
               .parquet(seeds_dir))
