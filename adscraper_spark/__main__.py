@@ -38,6 +38,9 @@ def _build_parser() -> argparse.ArgumentParser:
     c.add_argument("--default-budget", type=int, default=4)
     c.add_argument("--max-retries", type=int, default=1)
     c.add_argument("--salt-fanout", type=int, default=16)
+    c.add_argument("--site-budget-seconds", type=float, default=None,
+                   help="Z2 per-site virtual time budget per wave "
+                        "(reference: 15-min site race, crawler.ts:80-97)")
     c.add_argument("--cpus", type=int, default=None)
     g = sub.add_parser("gen-corpus", help="write a synthetic corpus")
     g.add_argument("--out", required=True)
@@ -76,7 +79,8 @@ def main(argv: list[str] | None = None) -> int:
                       wave_seconds=args.wave_seconds,
                       default_budget=args.default_budget,
                       max_retries=args.max_retries,
-                      salt_fanout=args.salt_fanout)
+                      salt_fanout=args.salt_fanout,
+                      site_budget_seconds=args.site_budget_seconds)
     eng = CrawlEngine(spark, args.pages, args.robots, args.workdir, cfg)
     resuming = eng.last_committed_wave() >= 0
     if not resuming:
@@ -92,10 +96,29 @@ def main(argv: list[str] | None = None) -> int:
                   "crawler-cli.ts:207-298)", file=sys.stderr)
             return 2
         eng.bootstrap(seeds)
-    stats = eng.run()
-    print(json.dumps({"resumed": resuming, "waves": stats}))
+
+    # Z6 graceful drain: SIGTERM/SIGINT finish the current wave's atomic
+    # commit, then exit; the workdir resumes at the next wave
+    # (k8s-indexed-job-worker.ts:30-53 semantics).
+    import signal
+
+    stop = {"flag": False, "sig": 0}
+
+    def _request_stop(signum, frame):
+        stop["flag"] = True
+        stop["sig"] = signum
+
+    prev = {s: signal.signal(s, _request_stop)
+            for s in (signal.SIGTERM, signal.SIGINT)}
+    try:
+        stats = eng.run(stop_requested=lambda: stop["flag"])
+    finally:
+        for s, h in prev.items():
+            signal.signal(s, h)
+    print(json.dumps({"resumed": resuming, "drained": stop["flag"],
+                      "waves": stats}))
     spark.stop()
-    return 0
+    return 128 + stop["sig"] if stop["flag"] else 0
 
 
 if __name__ == "__main__":

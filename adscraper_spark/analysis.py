@@ -92,6 +92,64 @@ def find_articles(spark: SparkSession, pages_path: str,
     return _first_match(cands, readerable)
 
 
+def rss_first_article(spark: SparkSession, pages_path: str,
+                      source_urls: DataFrame) -> DataFrame:
+    """S7/W3 end-to-end: discover each source page's RSS feed URLs (U9,
+    in header-link order), fetch the feed bodies via the corpus join,
+    parse feed XML in an Arrow batch, take item[0]
+    (get-rss-article.ts:40-53), and keep the first feed per source that
+    yields an article. Output: (src_url, feed_url, article_url)."""
+    import pandas as pd
+
+    pages = spark.read.parquet(pages_path).select("url", "html")
+    src = source_urls.join(pages, "url")
+    par = spark.sparkContext.defaultParallelism
+    ex = extract_pages(src.repartition(par, "url"))
+    feeds = (ex.select(F.col("url").alias("src_url"),
+                       F.posexplode("rss_urls").alias("pos", "feed_url")))
+    fetched = feeds.join(pages.withColumnRenamed("url", "feed_url"),
+                         "feed_url")
+
+    def parse_first(batches):
+        from .corpus import parse_feed_first
+        for pdf in batches:
+            yield pd.DataFrame({
+                "src_url": pdf["src_url"],
+                "pos": pdf["pos"],
+                "feed_url": pdf["feed_url"],
+                "article_url": [
+                    parse_feed_first(bytes(h)) if h is not None else None
+                    for h in pdf["html"]],
+            })
+
+    parsed = fetched.mapInPandas(
+        parse_first, schema=("src_url string, pos int, feed_url string, "
+                             "article_url string"))
+    hits = parsed.filter(F.col("article_url").isNotNull())
+    w = Window.partitionBy("src_url").orderBy("pos", "feed_url")
+    return (hits.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("src_url", "feed_url", "article_url"))
+
+
+def find_articles_rss_first(spark: SparkSession, pages_path: str,
+                            source_urls: DataFrame,
+                            seed: int = 42) -> DataFrame:
+    """The reference's full findArticle order: RSS short-circuit first
+    (getRssArticle), then the seeded guess path for sources without a
+    working feed (find-page.ts:98-121). Output adds ``via`` ∈
+    {rss, guess}."""
+    rss = rss_first_article(spark, pages_path, source_urls)
+    guess = find_articles(spark, pages_path, source_urls, seed=seed)
+    rss_part = rss.select("src_url",
+                          F.col("article_url").alias("found_url"),
+                          F.lit("rss").alias("via"))
+    guess_part = (guess.join(rss.select("src_url"), "src_url", "left_anti")
+                  .select("src_url", "found_url",
+                          F.lit("guess").alias("via")))
+    return rss_part.unionByName(guess_part).orderBy("src_url")
+
+
 def find_pages_with_ads(spark: SparkSession, pages_path: str,
                         source_urls: DataFrame, seed: int = 42,
                         health_priority: bool = False) -> DataFrame:

@@ -26,6 +26,13 @@ class CrawlConfig:
     bloom_expected_per_partition: int = 100_000
     checkpoint_every: int = 1        # waves between durable checkpoints
     same_host_only: bool = True      # F4 link-admission filter
+    # Z2 per-site time budget (reference: 15-min Promise.race per site,
+    # crawler.ts:80-97,316-317): each fetch on a host costs
+    # wave_seconds/host_budget of virtual time; rows past the budget
+    # within a wave are recorded with state 'timeout' and consume a
+    # retry attempt. None = unlimited (reference default semantics for
+    # non-browser fetches).
+    site_budget_seconds: float | None = None
     # Z5 failure/retry semantics: a fetch error is retried in a later
     # wave until this many attempts (reference analog: k8s
     # backoffLimitPerIndex=20, indexed-job.yaml:10-14). 1 = no retry.
@@ -43,3 +50,6 @@ class CrawlConfig:
             raise ValueError("bad fan-out")
         if self.max_retries < 1:
             raise ValueError("max_retries must be >= 1")
+        if self.site_budget_seconds is not None \
+                and self.site_budget_seconds <= 0:
+            raise ValueError("site_budget_seconds must be > 0")

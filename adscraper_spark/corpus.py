@@ -214,6 +214,58 @@ def gen_page_row(spec: CorpusSpec, h: int, j: int) -> dict:
     }
 
 
+def feed_url(spec: CorpusSpec, h: int) -> str:
+    return f"https://{spec.host_name(h)}/feed"
+
+
+def gen_feed_xml(spec: CorpusSpec, h: int) -> bytes:
+    """RSS 2.0 feed body per host (the /feed URL some page heads
+    advertise, gen_html). Items are deterministic picks of the host's
+    pages; item[0] is the first-article target (S7/W3,
+    crawler/src/pages/get-rss-article.ts:40-53)."""
+    count = spec.layout()[h][1]
+    items = []
+    for i in range(min(3, count)):
+        j = stable_hash64(f"feeditem|{h}|{i}", spec.seed) % count
+        u = spec.page_url(h, j)
+        items.append(f"<item><title>{_words(f'fi|{h}|{i}', spec.seed, 3)}"
+                     f"</title><link>{u}</link></item>")
+    xml = ("<?xml version=\"1.0\" encoding=\"UTF-8\"?>"
+           f"<rss version=\"2.0\"><channel>"
+           f"<title>{spec.host_name(h)} feed</title>"
+           f"{''.join(items)}</channel></rss>")
+    return xml.encode("utf-8")
+
+
+def feed_rows(spec: CorpusSpec):
+    """Feed pseudo-pages appended to the pages corpus (the engine's
+    'web'). Never admitted by link harvest (feeds are <link> elements,
+    not anchors) — only the RSS operator joins them."""
+    for h in range(spec.n_hosts):
+        url = feed_url(spec, h)
+        html = gen_feed_xml(spec, h)
+        yield {
+            "url": url,
+            "warc_ts": gen_warc_ts(spec, url),
+            "html": html,
+            "text": extract_page(url, html).text,
+            "lang": gen_lang(spec, h),
+        }
+
+
+def parse_feed_first(xml: bytes | str) -> str | None:
+    """First item's link of an RSS feed body (feed.items[0],
+    get-rss-article.ts:44-48). Tolerant regex parse — deterministic and
+    shared by the Spark UDF and the sequential oracle."""
+    import re as _re
+
+    if isinstance(xml, bytes):
+        xml = xml.decode("utf-8", errors="replace")
+    m = _re.search(r"<item\b.*?<link>\s*(.*?)\s*</link>", xml,
+                   _re.DOTALL | _re.IGNORECASE)
+    return m.group(1) if m else None
+
+
 def gen_robots_txt(spec: CorpusSpec, h: int) -> str | None:
     """RFC 9309-style body per host; ~20% of hosts have none (default
     budget applies). Mega-host always has a crawl delay (skew × politeness
@@ -263,7 +315,7 @@ def write_corpus_parquet(spec: CorpusSpec, out_dir: str) -> dict[str, str]:
     import pyarrow.parquet as pq
 
     os.makedirs(out_dir, exist_ok=True)
-    rows = list(pages_rows(spec))
+    rows = list(pages_rows(spec)) + list(feed_rows(spec))
     pages = pa.Table.from_pylist(rows, schema=pa.schema([
         ("url", pa.string()),
         ("warc_ts", pa.timestamp("us", tz="UTC")),
@@ -329,6 +381,10 @@ def write_corpus_spark(spark, spec: CorpusSpec, out_dir: str,
     pages_path = f"{out_dir}/pages.parquet"
     coord_df.mapInPandas(gen, schema=schema).write.mode("overwrite") \
         .parquet(pages_path)
+    feed_df = spark.createDataFrame(
+        [(r["url"], r["warc_ts"], r["html"], r["text"], r["lang"])
+         for r in feed_rows(spec)], schema)
+    feed_df.write.mode("append").parquet(pages_path)
     # seeds + robots are tiny → driver-side
     import os
 

@@ -464,8 +464,23 @@ class CrawlEngine:
             planned.unpersist()
             return {"planned": 0}
 
+        # ---- Z2 site time budget (crawler.ts:80-97 Promise.race): each
+        # fetch on a host costs wave_seconds/host_budget of virtual time;
+        # rows whose cumulative cost exceeds the budget this wave are
+        # recorded as 'timeout' (consuming a retry attempt), not fetched.
+        timeouts_df = None
+        sched = planned
+        if cfg.site_budget_seconds is not None:
+            over = (F.col("host_rank")
+                    * (F.lit(cfg.wave_seconds) / F.col("host_budget"))
+                    > F.lit(cfg.site_budget_seconds))
+            timeouts_df = planned.filter(over).select(
+                "url", F.lit(wave).alias("wave_fetched"),
+                F.lit("timeout").alias("state_final"))
+            sched = planned.filter(~over)
+
         # ---- fetch = equi-join vs corpus (J7); miss → error row (S6) ----
-        fetched = planned.join(pages, "url", "left").cache()
+        fetched = sched.join(pages, "url", "left").cache()
         # Extraction is CPU-bound Python-side work: AQE coalesces the join
         # output by *bytes* (fine for scans, wrong for a 2-5 ms/row UDF
         # stage), so repartition to full parallelism before the UDF.
@@ -536,6 +551,8 @@ class CrawlEngine:
                 F.when(F.col("html").isNotNull(), F.lit("fetched"))
                  .otherwise(F.lit("error")).alias("state_final"))
         )
+        if timeouts_df is not None:
+            processed_df = processed_df.unionByName(timeouts_df)
 
         # ---- frontier expansion: U7 links → admission pipeline ----------
         admissions_df = None
@@ -646,8 +663,15 @@ class CrawlEngine:
         return stats
 
     # ------------------------------------------------------------------
-    def run(self, max_waves: int | None = None) -> list[dict]:
-        """Resume-aware drain loop. Returns per-wave stats."""
+    def run(self, max_waves: int | None = None,
+            stop_requested=None) -> list[dict]:
+        """Resume-aware drain loop. Returns per-wave stats.
+
+        ``stop_requested`` (Z6 graceful drain): a zero-arg callable
+        checked BETWEEN waves — a SIGTERM mid-wave finishes that wave's
+        atomic commit, then the loop exits cleanly; resume picks up at
+        the next wave (reference: k8s-indexed-job-worker.ts:30-53 traps
+        SIGTERM/SIGINT, checkpoints, exits 128+sig)."""
         last = self._rollback_to_last_commit()
         if last < 0:
             raise RuntimeError("bootstrap() before run()")
@@ -655,6 +679,8 @@ class CrawlEngine:
         out = []
         wave = last + 1
         while wave <= horizon:
+            if stop_requested is not None and stop_requested():
+                break
             stats = self.run_wave(wave)
             if stats.get("planned", 0) == 0:
                 break

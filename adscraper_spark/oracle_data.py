@@ -26,8 +26,8 @@ import tempfile
 
 from .config import CrawlConfig
 from .corpus import (
-    CorpusSpec, gen_html, gen_lang, gen_robots_txt, gen_seeds,
-    write_corpus_parquet,
+    CorpusSpec, feed_rows, gen_html, gen_lang, gen_robots_txt, gen_seeds,
+    parse_feed_first, write_corpus_parquet,
 )
 from .extraction.core import extract_page
 from .simulator import simulate_crawl
@@ -42,7 +42,7 @@ FIND_SEED = 42
 
 ROOT = os.path.join(
     tempfile.gettempdir(),
-    f"adscraper_spark_oracle_v2_{ORACLE_N_PAGES}_{ORACLE_N_HOSTS}"
+    f"adscraper_spark_oracle_v3_{ORACLE_N_PAGES}_{ORACLE_N_HOSTS}"
     f"_{ORACLE_SEED}")
 
 
@@ -73,6 +73,8 @@ def artifact_paths() -> dict[str, str]:
         "ads": os.path.join(ROOT, "oracle_ads.parquet"),
         "ad_urls": os.path.join(ROOT, "oracle_ad_urls.parquet"),
         "trace": os.path.join(ROOT, "oracle_trace.parquet"),
+        "rss": os.path.join(ROOT, "oracle_rss.parquet"),
+        "feeds": os.path.join(ROOT, "oracle_feeds.parquet"),
     }
 
 
@@ -104,14 +106,17 @@ def _build(out_dir: str) -> None:
     pages_map: dict[str, bytes] = {}
     url_lang: dict[str, str] = {}
     ex_rows, link_rows, ad_rows, ad_url_rows = [], [], [], []
+    rss_rows, feed_first_rows = [], []
     url_ex = {}
-    for h, j in spec.iter_pages():
-        url = spec.page_url(h, j)
-        html = gen_html(spec, h, j)
+    docs = [(spec.page_url(h, j), gen_html(spec, h, j), gen_lang(spec, h))
+            for h, j in spec.iter_pages()]
+    # feed pseudo-pages are part of the corpus 'web' (corpus.feed_rows)
+    docs += [(r["url"], r["html"], r["lang"]) for r in feed_rows(spec)]
+    for url, html, lang in docs:
         e = extract_page(url, html)
         pages_map[url] = html
         url_ex[url] = e
-        url_lang[url] = gen_lang(spec, h)
+        url_lang[url] = lang
         ex_rows.append({
             "url": url, "text": e.text, "n_links": len(e.links),
             "n_ads": len(e.ads), "readerable": e.readerable,
@@ -121,6 +126,8 @@ def _build(out_dir: str) -> None:
         for ln in e.links:
             link_rows.append({"src_url": url, "src_host": src_host,
                               "link": ln, "link_host": url_host(ln)})
+        for pos, ru in enumerate(e.rss_urls):
+            rss_rows.append({"src_url": url, "pos": pos, "rss_url": ru})
         for idx, ad in enumerate(e.ads):
             ad_rows.append({"url": url, "ad_index": idx,
                             "selector": ad.selector,
@@ -153,6 +160,19 @@ def _build(out_dir: str) -> None:
         ("target_url", pa.string()), ("resource_type", pa.string()),
         ("target_host", pa.string()),
     ])), os.path.join(out_dir, "oracle_ad_urls.parquet"))
+    pq.write_table(pa.Table.from_pylist(rss_rows, schema=pa.schema([
+        ("src_url", pa.string()), ("pos", pa.int64()),
+        ("rss_url", pa.string()),
+    ])), os.path.join(out_dir, "oracle_rss.parquet"))
+    # feed-XML → first-article oracle (S7/W3: feed.items[0])
+    for r in feed_rows(spec):
+        feed_first_rows.append({
+            "feed_url": r["url"],
+            "first_article_url": parse_feed_first(r["html"]),
+        })
+    pq.write_table(pa.Table.from_pylist(feed_first_rows, schema=pa.schema([
+        ("feed_url", pa.string()), ("first_article_url", pa.string()),
+    ])), os.path.join(out_dir, "oracle_feeds.parquet"))
 
     # sequential-simulator trace of the e2e crawl (the engine oracle)
     seeds = [(i, u) for i, u in enumerate(gen_seeds(spec, N_SEEDS))]

@@ -130,6 +130,94 @@ WHERE rn = 1 ORDER BY src_url
 """
 
 
+def rss_first_article_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/W3: feed discovery → corpus-join fetch → XML parse →
+    items[0] (get-rss-article.ts:40-53), first working feed per page."""
+    from ..analysis import rss_first_article
+
+    p = ensure_oracle_artifacts()
+    src_df = spark.createDataFrame([(u,) for u in find_sources()],
+                                   "url string")
+    return (rss_first_article(spark, p["pages"], src_df)
+            .orderBy("src_url"))
+
+
+def _rss_first_article_sql() -> str:
+    srcs = ", ".join(f"'{u}'" for u in find_sources())
+    return f"""
+WITH f AS (
+  SELECT r.src_url, r.pos, r.rss_url AS feed_url,
+         fe.first_article_url AS article_url
+  FROM read_parquet('{_P["rss"]}') r
+  JOIN read_parquet('{_P["feeds"]}') fe ON fe.feed_url = r.rss_url
+  WHERE r.src_url IN ({srcs}) AND fe.first_article_url IS NOT NULL
+)
+SELECT src_url, feed_url, article_url
+FROM (SELECT *, row_number() OVER (PARTITION BY src_url
+                                   ORDER BY pos, feed_url) AS rn FROM f)
+WHERE rn = 1 ORDER BY src_url
+"""
+
+
+def find_articles_rss_first_q(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """The reference's full findArticle order: RSS short-circuit, guess
+    path as fallback (find-page.ts:98-121 + getRssArticle)."""
+    from ..analysis import find_articles_rss_first
+
+    p = ensure_oracle_artifacts()
+    src_df = spark.createDataFrame([(u,) for u in find_sources()],
+                                   "url string")
+    return find_articles_rss_first(spark, p["pages"], src_df,
+                                   seed=FIND_SEED)
+
+
+def _find_articles_rss_first_sql() -> str:
+    srcs = ", ".join(f"'{u}'" for u in find_sources())
+    return f"""
+WITH cand AS (
+  SELECT DISTINCT src_url, link
+  FROM read_parquet('{_P["links"]}')
+  WHERE src_url IN ({srcs}) AND link_host = src_host AND link <> src_url
+),
+ranked AS (
+  SELECT src_url, link,
+         row_number() OVER (PARTITION BY src_url
+                            ORDER BY md5('{FIND_SEED}|' || link), link)
+           AS guess_rank
+  FROM cand
+),
+hits AS (
+  SELECT r.src_url, r.link, r.guess_rank
+  FROM ranked r JOIN read_parquet('{_P["extract"]}') e ON e.url = r.link
+  WHERE r.guess_rank <= 20 AND e.readerable
+),
+guess AS (
+  SELECT src_url, link AS found_url
+  FROM (SELECT *, row_number() OVER (PARTITION BY src_url
+                                     ORDER BY guess_rank) AS rn FROM hits)
+  WHERE rn = 1
+),
+rssf AS (
+  SELECT src_url, article_url AS found_url
+  FROM (SELECT r.src_url, r.pos, r.rss_url,
+               fe.first_article_url AS article_url,
+               row_number() OVER (PARTITION BY r.src_url
+                                  ORDER BY r.pos, r.rss_url) AS rn
+        FROM read_parquet('{_P["rss"]}') r
+        JOIN read_parquet('{_P["feeds"]}') fe ON fe.feed_url = r.rss_url
+        WHERE r.src_url IN ({srcs})
+          AND fe.first_article_url IS NOT NULL)
+  WHERE rn = 1
+)
+SELECT src_url, found_url, 'rss' AS via FROM rssf
+UNION ALL
+SELECT g.src_url, g.found_url, 'guess' AS via FROM guess g
+WHERE g.src_url NOT IN (SELECT src_url FROM rssf)
+ORDER BY src_url
+"""
+
+
 def j3_ads_per_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3: ads merged to their parent page (README.md:320 pandas-merge
     analog) — UDF-extracted ads exploded to rows, equi-joined back to
@@ -193,6 +281,8 @@ QUERIES = {
     "crawl_engine_e2e": crawl_engine_e2e,
     "extraction_udf_demo": extraction_udf_demo,
     "find_articles_demo": find_articles_demo,
+    "rss_first_article": rss_first_article_q,
+    "find_articles_rss_first": find_articles_rss_first_q,
     "j3_ads_per_page": j3_ads_per_page,
     "j2_ad_domain_counts": j2_ad_domain_counts,
 }
@@ -200,6 +290,8 @@ ORACLES = {
     "crawl_engine_e2e": CRAWL_ENGINE_E2E_SQL,
     "extraction_udf_demo": EXTRACTION_UDF_DEMO_SQL,
     "find_articles_demo": _find_articles_sql(),
+    "rss_first_article": _rss_first_article_sql(),
+    "find_articles_rss_first": _find_articles_rss_first_sql(),
     "j3_ads_per_page": J3_ADS_PER_PAGE_SQL,
     "j2_ad_domain_counts": J2_AD_DOMAIN_COUNTS_SQL,
 }

@@ -65,10 +65,12 @@ def plan_wave(pending: DataFrame, budgets: dict[str, int] | DataFrame,
         .filter(F.col("shard_rank") <= F.col("host_budget"))
         .drop("shard_rank")
     )
-    # phase 2: exact top-k per host over ≤ budget×salt_fanout survivors
+    # phase 2: exact top-k per host over ≤ budget×salt_fanout survivors.
+    # host_budget stays on the rows — the Z2 site-time-budget gate
+    # derives each fetch's virtual cost from it (engine.run_wave).
     w2 = Window.partitionBy("host").orderBy("priority", "seq")
     return (
         survivors.withColumn("host_rank", F.row_number().over(w2))
         .filter(F.col("host_rank") <= F.col("host_budget"))
-        .drop("salt", "host_budget")
+        .drop("salt")
     )

@@ -72,12 +72,19 @@ def simulate_crawl(pages: dict[str, bytes],
         by_host: dict[str, list] = {}
         for u, e in pending:
             by_host.setdefault(e["host"], []).append((u, e))
-        planned: list[tuple[str, dict]] = []
+        planned: list[tuple[str, dict, bool]] = []
         for host in by_host:
             q = sorted(by_host[host],
                        key=lambda t: (t[1]["priority"], t[1]["seq"]))
             b = budgets.get(host, config.default_budget)
-            planned.extend(q[:b])
+            for rank, (u, e) in enumerate(q[:b], start=1):
+                # Z2 site time budget: fetch #rank on this host lands at
+                # virtual time rank * (wave_seconds / budget)
+                timed_out = (
+                    config.site_budget_seconds is not None
+                    and rank * (config.wave_seconds / b)
+                    > config.site_budget_seconds)
+                planned.append((u, e, timed_out))
         if not planned:
             break
         # global fetch order = (wave, host, priority, seq) — the
@@ -86,7 +93,13 @@ def simulate_crawl(pages: dict[str, bytes],
                                     t[1]["seq"]))
         candidates: dict[str, tuple[int, str]] = {}  # url -> (depth, src)
         cand_meta: dict[str, tuple[str, str]] = {}   # url -> (host, path)
-        for url, e in planned:
+        for url, e, timed_out in planned:
+            if timed_out:
+                e["attempts"] += 1
+                if e["attempts"] >= config.max_retries:
+                    e["state"] = "timeout"
+                order.append((url, wave))
+                continue
             html = pages.get(url)
             if html is None:
                 # Z5: retry budget — stays pending until attempts exhaust
