@@ -168,6 +168,7 @@ class SelectorIndex:
     def __init__(self, selectors: list[str]):
         self.by_id: dict[str, list[Selector]] = {}
         self.by_class: dict[str, list[Selector]] = {}
+        self.by_attr: dict[str, list[Selector]] = {}
         self.rest: list[Selector] = []
         for s in selectors:
             sel = compile_selector(s)
@@ -176,6 +177,11 @@ class SelectorIndex:
                 self.by_id.setdefault(subject.id, []).append(sel)
             elif subject.classes:
                 self.by_class.setdefault(subject.classes[0], []).append(sel)
+            elif subject.attrs:
+                # [attr...] selectors index by required attribute name —
+                # EasyList has ~1% of these; left linear they dominate
+                # at 13k-list scale
+                self.by_attr.setdefault(subject.attrs[0][0], []).append(sel)
             else:
                 self.rest.append(sel)
 
@@ -200,6 +206,11 @@ class SelectorIndex:
             for sel in self.by_class.get(cls, ()):
                 if sel.matches(node):
                     return sel
+        if self.by_attr:
+            for name in node.attrs:
+                for sel in self.by_attr.get(name, ()):
+                    if sel.matches(node):
+                        return sel
         for sel in self.rest:
             if sel.matches(node):
                 return sel

@@ -180,6 +180,42 @@ def bench_kernel(corpus_paths: dict[str, str]) -> dict:
     return out
 
 
+def bench_selector_index() -> dict:
+    """SelectorIndex at reference-list scale (13,967 ad selectors,
+    ad-detection.ts:14-21): ms/page with the vendored list vs the
+    full-scale list — evidence matching is O(features-on-page), not
+    O(selectors). Pure Python, no Spark."""
+    from adscraper_spark.corpus import CorpusSpec, gen_html
+    from adscraper_spark.html import easylist
+    from adscraper_spark.html.easylist_scale import full_scale_ad_selectors
+    from adscraper_spark.html.parser import parse_html
+    from adscraper_spark.html.selectors import SelectorIndex
+
+    spec = CorpusSpec(n_pages=300, n_hosts=10, seed=42, content_scale=4)
+    docs = [parse_html(gen_html(spec, h, j))
+            for h, j in list(spec.iter_pages())[:100]]
+    small = SelectorIndex(easylist.AD_SELECTORS)
+    full_list = full_scale_ad_selectors()
+    big = SelectorIndex(full_list)
+
+    def run(ix) -> float:
+        t0 = time.perf_counter()
+        for d in docs:
+            ix.match_all(d)
+        return time.perf_counter() - t0
+
+    run(small), run(big)  # warm
+    t_small = min(run(small) for _ in range(3))
+    t_big = min(run(big) for _ in range(3))
+    return {
+        "n_selectors_small": len(easylist.AD_SELECTORS),
+        "n_selectors_full": len(full_list),
+        "ms_per_page_small": round(t_small / len(docs) * 1000, 4),
+        "ms_per_page_full": round(t_big / len(docs) * 1000, 4),
+        "slowdown_full_vs_small": round(t_big / t_small, 2),
+    }
+
+
 def main() -> None:
     t_total = time.time()
     corpus_root = os.path.join(
@@ -227,6 +263,7 @@ def main() -> None:
             "scaling_efficiency": round(eff, 3),
         },
         "kernel_scaling": kernel,
+        "selector_index": bench_selector_index(),
         "total_bench_sec": round(time.time() - t_total, 1),
     }
     print(json.dumps(result))
@@ -286,6 +323,23 @@ def _write_bench_md(r: dict) -> None:
         "",
         f"Reference ceiling: ≲0.2 pages/s/worker (BASELINE.md); this "
         f"engine: {r['value']} URLs/s end-to-end on one machine.",
+        "",
+        "## SelectorIndex at EasyList scale",
+        "",
+        "Matching cost vs selector-list size (O(features-on-page) "
+        "evidence):",
+        "",
+        "| selectors | ms/page |",
+        "| --- | --- |",
+        f"| {r['selector_index']['n_selectors_small']} (vendored) | "
+        f"{r['selector_index']['ms_per_page_small']} |",
+        f"| {r['selector_index']['n_selectors_full']} (full EasyList "
+        f"scale) | {r['selector_index']['ms_per_page_full']} |",
+        "",
+        f"{r['selector_index']['n_selectors_full'] // max(1, r['selector_index']['n_selectors_small'])}× "
+        f"more selectors cost {r['selector_index']['slowdown_full_vs_small']}× "
+        "the match time — the inverted id/class/attr index touches only "
+        "buckets whose tokens appear on the node.",
         "",
         "## Headline operator timings "
         f"(sf{r['sf']}, {hi}, noop-write full evaluation)",
