@@ -27,7 +27,7 @@ from dataclasses import dataclass, field
 from ..html.easylist import (
     CHUMBOX_DEFINITIONS, ad_selector_index, cookie_selector_index,
 )
-from ..html.parser import Document, Node, parse_html
+from ..html.parser import Document, Node, collect_elements, parse_html
 from ..html.selectors import compile_selector
 from ..urlnorm import resolve
 
@@ -109,20 +109,24 @@ def _visible(node: Node) -> bool:
     return True
 
 
-def readability_probe(doc: Document) -> tuple[bool, float]:
+def readability_probe(doc: Document,
+                      elements: list[Node] | None = None
+                      ) -> tuple[bool, float]:
     """Exact port of the injected isProbablyReaderable
     (find-page.ts:195-264): nodes = p, pre, plus parents of div>br;
     per-node gates then score += sqrt(len-140), readerable when score>20.
     """
+    if elements is None:
+        elements = collect_elements(doc.root)
     nodes: list[Node] = []
     seen: set[int] = set()
-    for el in doc.iter_elements():
+    for el in elements:
         if el.tag in ("p", "pre") and id(el) not in seen:
             nodes.append(el)
             seen.add(id(el))
     # div > br → add the div (preserving the reference's set-append order:
     # p/pre first, then br-parents not already present)
-    for el in doc.iter_elements():
+    for el in elements:
         if el.tag == "br" and el.parent is not None and el.parent.tag == "div":
             if id(el.parent) not in seen:
                 nodes.append(el.parent)
@@ -147,10 +151,12 @@ def readability_probe(doc: Document) -> tuple[bool, float]:
     return False, score
 
 
-def detect_ads(doc: Document) -> list[tuple[Node, str]]:
+def detect_ads(doc: Document,
+               elements: list[Node] | None = None
+               ) -> list[tuple[Node, str]]:
     """U2: selector-union match, then drop any match with a matched
     ancestor (top-most wins; ad-detection.ts:25-43). Document order."""
-    matches = ad_selector_index().match_all(doc)
+    matches = ad_selector_index().match_all(doc, elements)
     matched_nodes = {id(node) for node, _ in matches}
     out = []
     for node, sel in matches:
@@ -161,8 +167,11 @@ def detect_ads(doc: Document) -> list[tuple[Node, str]]:
 
 
 def remove_cookie_banners(doc: Document) -> int:
-    """U1: delete all cookie-selector matches (cookie-banner-remover.ts)."""
-    matches = cookie_selector_index().match_all(doc)
+    """U1: delete all cookie-selector matches (cookie-banner-remover.ts).
+    Own walk — it mutates the tree, so the shared element list is built
+    after it."""
+    matches = cookie_selector_index().match_all(
+        doc, collect_elements(doc.root))
     for node, _ in matches:
         node.detach()
     return len(matches)
@@ -218,16 +227,19 @@ def _iframe_tree(doc: Document, root: Node, ad_index: int,
             _iframe_tree(doc, child, ad_index, out, parent_index)
 
 
-def extract_rss(doc: Document, base_url: str) -> list[str]:
+def extract_rss(doc: Document, base_url: str,
+                elements: list[Node] | None = None) -> list[str]:
     """U9: header <link rel=alternate type=rss> minus 'comments', plus
     anchors whose href contains 'rss' (get-rss-article.ts:22-34)."""
+    if elements is None:
+        elements = collect_elements(doc.root)
     out: list[str] = []
-    for el in doc.iter_elements():
+    for el in elements:
         if el.tag == "link" and _RSS_LINK_SEL.matches(el):
             u = resolve(base_url, el.get("href"))
             if u is not None and "comments" not in u:
                 out.append(u)
-    for el in doc.iter_elements():
+    for el in elements:
         if el.tag == "a":
             u = resolve(base_url, el.get("href"))
             if u is not None and "rss" in u:
@@ -246,7 +258,10 @@ def extract_page(url: str, html: bytes | str) -> PageExtract:
     no wall clock, no randomness, pinned parser/selectors."""
     doc = parse_html(html)
     remove_cookie_banners(doc)                                   # U1
-    ad_matches = detect_ads(doc)                                 # U2
+    # ONE post-prune walk shared by every remaining stage (ad match,
+    # link harvest, readability, rss) — the tree is static from here
+    elements = collect_elements(doc.root)
+    ad_matches = detect_ads(doc, elements)                       # U2
     ads: list[AdExtract] = []
     iframes: list[IFrameExtract] = []
     for node, sel in ad_matches:
@@ -263,13 +278,13 @@ def extract_page(url: str, html: bytes | str) -> PageExtract:
         ))
         _iframe_tree(doc, node, len(ads) - 1, iframes, -1)       # U5
     links = []
-    for el in doc.iter_elements():                               # U7
+    for el in elements:                                          # U7
         if el.tag == "a":
             u = resolve(url, el.get("href"))
             if u is not None:
                 links.append(u)
-    readerable, score = readability_probe(doc)                   # U8
-    rss = extract_rss(doc, url)                                  # U9
+    readerable, score = readability_probe(doc, elements)         # U8
+    rss = extract_rss(doc, url, elements)                        # U9
     text = normalize_text(doc.body.text_content())               # U10
     return PageExtract(
         text=text, links=links, ads=ads, iframes=iframes,

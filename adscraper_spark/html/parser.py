@@ -56,8 +56,21 @@ _NAMED_ENTITIES = {
 }
 _ENTITY_RE = re.compile(r"&(#x[0-9a-fA-F]+|#[0-9]+|[a-zA-Z][a-zA-Z0-9]*);")
 
+_RAWTEXT_CLOSE_RES: dict[str, re.Pattern] = {}
+
+
+def _rawtext_close_re(tag: str) -> re.Pattern:
+    pat = _RAWTEXT_CLOSE_RES.get(tag)
+    if pat is None:
+        pat = re.compile(rf"<\s*/\s*{re.escape(tag)}\s*>", re.IGNORECASE)
+        _RAWTEXT_CLOSE_RES[tag] = pat
+    return pat
+
 
 def decode_entities(s: str) -> str:
+    if "&" not in s:  # hot path: most text runs carry no entities
+        return s
+
     def repl(m: re.Match) -> str:
         body = m.group(1)
         if body.startswith("#x") or body.startswith("#X"):
@@ -104,7 +117,9 @@ class Node:
 
     def iter_elements(self):
         """Pre-order (document order) walk of element descendants, self
-        excluded."""
+        excluded. For repeated walks over the same tree prefer
+        ``collect_elements`` (one iterative pass, no generator
+        recursion)."""
         for child in self.children:
             if isinstance(child, Node):
                 yield child
@@ -166,6 +181,25 @@ class Document:
         return self.find_first("body") or self.root
 
 
+def collect_elements(root: Node) -> list[Node]:
+    """Document-order element list (identical order to iter_elements)
+    in one iterative pass — the extraction core materializes this ONCE
+    per document and every stage (ad match, links, readability, rss)
+    iterates the list instead of re-walking the tree."""
+    out: list[Node] = []
+    stack: list[Node] = [root]
+    while stack:
+        node = stack.pop()
+        if node is not root:
+            out.append(node)
+        children = node.children
+        for i in range(len(children) - 1, -1, -1):
+            child = children[i]
+            if isinstance(child, Node):
+                stack.append(child)
+    return out
+
+
 def _parse_attrs(raw: str) -> dict[str, str]:
     attrs: dict[str, str] = {}
     for m in _ATTR_RE.finditer(raw):
@@ -219,13 +253,12 @@ def parse_html(data: bytes | str) -> Document:
                     parent=stack[-1], start=m.start(), end=pos)
         stack[-1].children.append(node)
         if tag in RAWTEXT_ELEMENTS and not self_close:
-            close_m = re.search(rf"<\s*/\s*{re.escape(tag)}\s*>", source[pos:],
-                                re.IGNORECASE)
+            close_m = _rawtext_close_re(tag).search(source, pos)
             if close_m:
-                raw = source[pos:pos + close_m.start()]
+                raw = source[pos:close_m.start()]
                 if raw:
                     node.children.append(raw)  # raw text: no entity decode
-                pos = pos + close_m.end()
+                pos = close_m.end()
                 node.end = pos
             else:
                 raw = source[pos:]

@@ -185,12 +185,17 @@ class SelectorIndex:
             else:
                 self.rest.append(sel)
 
-    def match_all(self, doc: Document) -> list[tuple[Node, str]]:
+    def match_all(self, doc: Document,
+                  elements: list[Node] | None = None
+                  ) -> list[tuple[Node, str]]:
         """All (node, selector-source) matches in document order, first
         matching selector per node (set-union semantics of
-        ad-detection.ts:14-21 — a node matched twice is one ad)."""
+        ad-detection.ts:14-21 — a node matched twice is one ad).
+        Pass ``elements`` (collect_elements output) to reuse one walk
+        across extraction stages."""
         out: list[tuple[Node, str]] = []
-        for node in doc.iter_elements():
+        for node in (doc.iter_elements() if elements is None
+                     else elements):
             sel = self._match_node(node)
             if sel is not None:
                 out.append((node, sel.source))

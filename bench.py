@@ -162,7 +162,7 @@ def bench_kernel(corpus_paths: dict[str, str]) -> dict:
         spark = _session(cpus)
         kernel(spark, 60, cpus)  # warm workers/JIT on ~1/60 of corpus
         dt = None
-        for _trial in range(2):  # best-of-2: damp disk/GC interference
+        for _trial in range(3):  # best-of-3: damp disk/GC interference
             os.sync()
             t0 = time.time()
             kernel(spark, 3, cpus)   # ~1/3 of corpus
