@@ -22,6 +22,8 @@ class CrawlConfig:
     max_depth: int = 3               # frontier expansion horizon
     max_urls: int | None = None      # stop admitting after this many
     salt_fanout: int = 16            # hot-host shard count (scheduler.py)
+    frontier_buckets: int = 32       # url-hash buckets for the
+                                     # admitted/processed log layout
     bloom_partitions: int = 8
     bloom_expected_per_partition: int = 100_000
     checkpoint_every: int = 1        # waves between durable checkpoints
@@ -46,7 +48,8 @@ class CrawlConfig:
             raise ValueError("default_budget must be >= 1")
         if self.max_depth < 0 or self.max_waves < 1:
             raise ValueError("bad horizon")
-        if self.salt_fanout < 1 or self.bloom_partitions < 1:
+        if self.salt_fanout < 1 or self.bloom_partitions < 1 \
+                or self.frontier_buckets < 1:
             raise ValueError("bad fan-out")
         if self.max_retries < 1:
             raise ValueError("max_retries must be >= 1")

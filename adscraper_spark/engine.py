@@ -24,8 +24,12 @@ crawler.ts:263-271).
 
 Frontier state is APPEND-ONLY (admitted + processed logs); "pending" is
 an anti-join, never an update-in-place — at 10^10-URL scale this avoids
-rewriting the frontier every wave, and both logs bucket-partition by url
-for a co-partitioned anti-join under Iceberg.
+rewriting the frontier every wave. Both logs are WRITTEN hash-bucketed
+by url (SnapshotTable bucket_col — the Iceberg bucket(N, url) transform
+analog): stable skew-free file layout here, and under real Iceberg the
+matching transform makes the per-wave anti-join co-partitioned (plain
+parquet reads drop distribution metadata, so local mode still pays the
+exchange).
 """
 
 from __future__ import annotations
@@ -105,8 +109,13 @@ class CrawlEngine:
         self.pages_path = pages_path
         self.workdir = workdir
         os.makedirs(workdir, exist_ok=True)
-        self.admitted = SnapshotTable(os.path.join(workdir, "admitted"))
-        self.processed = SnapshotTable(os.path.join(workdir, "processed"))
+        buckets = self.config.frontier_buckets
+        self.admitted = SnapshotTable(os.path.join(workdir, "admitted"),
+                                      bucket_col="url",
+                                      num_buckets=buckets)
+        self.processed = SnapshotTable(os.path.join(workdir, "processed"),
+                                       bucket_col="url",
+                                       num_buckets=buckets)
         self.results = SnapshotTable(os.path.join(workdir, "results"))
         self.ads = SnapshotTable(os.path.join(workdir, "ads"))
         self.requests = SnapshotTable(os.path.join(workdir, "requests"))

@@ -44,8 +44,18 @@ class Snapshot:
 
 
 class SnapshotTable:
-    def __init__(self, path: str):
+    def __init__(self, path: str, bucket_col: str | None = None,
+                 num_buckets: int = 32):
+        """``bucket_col``: hash-bucket every data write by this column
+        (Iceberg ``bucket(N, col)`` partition-transform analog). The
+        frontier logs bucket by ``url`` so the layout is stable and
+        skew-free; under real Iceberg the same transform makes the
+        per-wave pending anti-join co-partitioned (plain parquet readers
+        lose the distribution metadata, so local mode still exchanges —
+        the LAYOUT is what carries to the cluster)."""
         self.path = path
+        self.bucket_col = bucket_col
+        self.num_buckets = num_buckets
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
         os.makedirs(os.path.join(path, "meta"), exist_ok=True)
 
@@ -97,6 +107,8 @@ class SnapshotTable:
     # -- data ---------------------------------------------------------------
     def _write_data(self, df: DataFrame) -> list[str]:
         part = os.path.join(self.path, "data", uuid.uuid4().hex)
+        if self.bucket_col is not None and self.bucket_col in df.columns:
+            df = df.repartition(self.num_buckets, self.bucket_col)
         df.write.mode("overwrite").parquet(part)
         return [part]
 
