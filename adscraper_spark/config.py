@@ -35,6 +35,11 @@ class CrawlConfig:
     # retry attempt. None = unlimited (reference default semantics for
     # non-browser fetches).
     site_budget_seconds: float | None = None
+    # Waves at or below this many rows broadcast the scheduled-url side
+    # into the corpus fetch join (map-side, no exchange of the html
+    # payload); bigger waves fall back to the shuffle join over the
+    # url-bucketed frontier layout.
+    broadcast_wave_max: int = 5_000_000
     # Z5 failure/retry semantics: a fetch error is retried in a later
     # wave until this many attempts (reference analog: k8s
     # backoffLimitPerIndex=20, indexed-job.yaml:10-14). 1 = no retry.

@@ -37,6 +37,7 @@ from __future__ import annotations
 import json
 import os
 from collections.abc import Iterator
+from concurrent.futures import ThreadPoolExecutor
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -489,13 +490,26 @@ class CrawlEngine:
             sched = planned.filter(~over)
 
         # ---- fetch = equi-join vs corpus (J7); miss → error row (S6) ----
-        fetched = sched.join(pages, "url", "left").cache()
+        # The corpus side carries the html payload, so shuffling it is
+        # the most expensive exchange in a wave. While the wave is
+        # broadcastable, broadcast the scheduled urls into a map-side
+        # join: corpus html streams straight into the extraction UDF
+        # with no exchange, and the S6 miss rows are recovered with a
+        # tiny anti-join against the hit set. Waves past
+        # broadcast_wave_max fall back to the shuffle join over the
+        # url-bucketed frontier layout.
+        sched_cols = sched.select("url", "host", "path", "depth",
+                                  "priority", "seq", "src_url", "ad_id")
+        if n_planned <= cfg.broadcast_wave_max:
+            fetched = pages.join(F.broadcast(sched_cols), "url").cache()
+        else:
+            fetched = (sched_cols.join(pages, "url", "left")
+                       .filter(F.col("html").isNotNull()).cache())
         # Extraction is CPU-bound Python-side work: AQE coalesces the join
         # output by *bytes* (fine for scans, wrong for a 2-5 ms/row UDF
         # stage), so repartition to full parallelism before the UDF.
         par = spark.sparkContext.defaultParallelism
-        ok = (fetched.filter(F.col("html").isNotNull())
-              .repartition(par, "url"))
+        ok = fetched.repartition(par, "url")
         extracted = extract_pages(ok).cache()
         if _debug:
             extracted.count()
@@ -531,20 +545,28 @@ class CrawlEngine:
             .withColumn("wave", F.lit(wave))
         )
         # third-party request log analog (S11/F3): external ad URLs whose
-        # host differs from the page host
+        # host differs from the page host. One pass: tag each resource
+        # array in place and explode the flattened result (a 4-way
+        # union would re-scan the ads explode once per resource type
+        # and leave 4× shuffle-partition output files).
         req_cols = [("anchor_hrefs", "anchor"), ("iframe_srcs", "iframe"),
                     ("script_srcs", "script"), ("img_srcs", "img")]
-        req_parts = [
-            ads_df.select(
-                F.col("url").alias("initiator"),
-                F.explode(c).alias("target_url"),
-                F.lit(rtype).alias("resource_type"))
-            for c, rtype in req_cols]
-        requests_df = req_parts[0]
-        for p in req_parts[1:]:
-            requests_df = requests_df.unionByName(p)
+        def _tag(col_name: str, rtype: str):
+            # NB: the lambda must be unary — F.transform feeds a second
+            # arg (the element index) to binary lambdas.
+            return F.transform(
+                F.col(col_name),
+                lambda x: F.struct(x.alias("target_url"),
+                                   F.lit(rtype).alias("resource_type")))
+
+        tagged = [_tag(f"ad.{c}", rtype) for c, rtype in req_cols]
         requests_df = (
-            requests_df
+            extracted.select("url", F.explode("ads").alias("ad"))
+            .select(F.col("url").alias("initiator"),
+                    F.explode(F.flatten(F.array(*tagged))).alias("r"))
+            .select("initiator",
+                    F.col("r.target_url").alias("target_url"),
+                    F.col("r.resource_type").alias("resource_type"))
             .withColumn("initiator_host",
                         F.lower(F.parse_url("initiator", F.lit("HOST"))))
             .withColumn("target_host",
@@ -553,11 +575,16 @@ class CrawlEngine:
             .withColumn("wave", F.lit(wave))
         )
 
+        # S6 miss rows: scheduled urls with no corpus hit → 'error'
+        # (tiny join — both sides are wave-sized and cached)
         processed_df = (
-            fetched.select(
+            sched.select("url")
+            .join(fetched.select("url", F.lit(1).alias("_hit")),
+                  "url", "left")
+            .select(
                 "url",
                 F.lit(wave).alias("wave_fetched"),
-                F.when(F.col("html").isNotNull(), F.lit("fetched"))
+                F.when(F.col("_hit").isNotNull(), F.lit("fetched"))
                  .otherwise(F.lit("error")).alias("state_final"))
         )
         if timeouts_df is not None:
@@ -637,26 +664,39 @@ class CrawlEngine:
             n_admitted = n_disallowed = 0
 
         # ---- single-wave commit (Z4) ------------------------------------
-        n_fetched = processed_df.filter(
-            F.col("state_final") == "fetched").count()
+        if admissions_df is None:
+            # no admission stage ran, so the extraction cache is still
+            # cold: materialize it in ONE full-parallelism job here
+            # rather than letting the concurrent appends below race to
+            # compute the same cached partitions under the cache lock
+            extracted.count()
+        n_fetched = fetched.count()  # cache scan — cheap
         n_errors = n_planned - n_fetched
         _tick("processed count")
-        self.processed.append(processed_df)
-        _tick("processed append")
+        # The six per-wave appends are independent of one another (each
+        # SnapshotTable owns its directory and manifest), so submit them
+        # as concurrent Spark jobs: with W >> tasks-per-write executors
+        # the scheduler overlaps their fixed latency and IO instead of
+        # paying it six times sequentially. Crash consistency is
+        # unaffected — _commit_wave (the only durable publish) still
+        # runs after every append has finished, and rollback discards
+        # any snapshot not pinned by a wave manifest.
+        appends = [(self.processed, processed_df),
+                   (self.results, results_df),
+                   (self.ads, ads_df),
+                   (self.requests, requests_df),
+                   (self.iframes, iframes_df)]
         if admissions_df is not None:
-            self.admitted.append(admissions_df)
-            _tick("admitted append")
+            appends.append((self.admitted, admissions_df))
+        with ThreadPoolExecutor(max_workers=len(appends)) as pool:
+            futs = [pool.submit(table.append, df) for table, df in appends]
+            for f in futs:
+                f.result()
+        _tick("table appends (parallel)")
+        if admissions_df is not None:
             self._update_bloom_distributed(admissions_df, wave + 1)
             _tick("bloom update")
             admissions_df.unpersist()
-        self.results.append(results_df)
-        _tick("results append")
-        self.ads.append(ads_df)
-        _tick("ads append")
-        self.requests.append(requests_df)
-        _tick("requests append")
-        self.iframes.append(iframes_df)
-        _tick("iframes append")
         stats = {
             "planned": n_planned, "fetched": n_fetched, "errors": n_errors,
             "admitted": n_admitted,

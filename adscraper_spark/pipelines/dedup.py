@@ -110,51 +110,55 @@ MINHASH_SIGNATURES_SQL = (
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs via LSH banding, verified with exact
-    Jaccard. Plan shape: shingle explode ONCE (cached — both the
-    signature and the verify join read it), signatures (1 shuffle) →
-    band explode → self-join on band key (shuffle on tiny band-key
-    rows, never on text) → verify only colliding pairs via shingle
-    co-group. At 100 TB the verify join is the expensive part and is
-    proportional to collisions, not to corpus²."""
+    Jaccard. Plan shape: one shingle explode feeds a single groupBy
+    producing the signature AND the shingle count (1 shuffle), band
+    keys come from ONE array-explode over that aggregate (no 4-way
+    union re-running the agg), the tiny banded DF (docs×BANDS rows, 3
+    cols) is cached for its self-join, and verification touches only
+    colliding pairs via an equi-join on (doc, shingle). At 100 TB the
+    verify join is the expensive part and is proportional to
+    collisions, not to corpus²."""
     doc = _docs(spark, sf_dir)
-    sh = _shingle_df(doc).cache()
-    sig = _signatures_from(sh)
-    bands = []
-    for b in range(BANDS):
-        cols = [F.col(f"mh{b * ROWS_PER_BAND + r}")
-                for r in range(ROWS_PER_BAND)]
-        bands.append(
-            sig.select("doc_id",
-                       F.lit(b).alias("band"),
-                       F.md5(F.concat_ws("|", *cols).cast("binary"))
-                       .alias("bkey")))
-    banded = bands[0]
-    for bdf in bands[1:]:
-        banded = banded.unionByName(bdf)
+    sh = _shingle_df(doc)
+    sig = _signatures_from(sh).join(
+        sh.groupBy("doc_id").agg(F.count("*").alias("n_sh")), "doc_id")
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *[
+                F.col(f"mh{b * ROWS_PER_BAND + r}")
+                for r in range(ROWS_PER_BAND)]).cast("binary"))
+            .alias("bkey"))
+        for b in range(BANDS)])
+    banded = (sig.select("doc_id", "n_sh",
+                         F.explode(band_structs).alias("bs"))
+              .select("doc_id", "n_sh", F.col("bs.band").alias("band"),
+                      F.col("bs.bkey").alias("bkey"))
+              .cache())
     left = banded.alias("l")
     right = banded.alias("r")
     cand = (left.join(right, (F.col("l.band") == F.col("r.band"))
                       & (F.col("l.bkey") == F.col("r.bkey"))
                       & (F.col("l.doc_id") < F.col("r.doc_id")))
             .select(F.col("l.doc_id").alias("doc_a"),
-                    F.col("r.doc_id").alias("doc_b"))
+                    F.col("l.n_sh").alias("n_a"),
+                    F.col("r.doc_id").alias("doc_b"),
+                    F.col("r.n_sh").alias("n_b"))
             .distinct())
-    # exact-Jaccard verification of candidates only (shared shingle DF)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # exact-Jaccard verification of candidates only: equi-join each side
+    # on (doc_id, shingle) so only matching shingles materialize
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
     sh_b = sh.select(F.col("doc_id").alias("doc_b"),
                      F.col("sh").alias("sh_b"))
-    inter = (cand.join(sh_a, "doc_a")
-             .join(sh_b, "doc_b")
-             .filter(F.col("sh") == F.col("sh_b"))
-             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_inter")))
-    na = sizes.select(F.col("doc_id").alias("doc_a"),
-                      F.col("n_sh").alias("n_a"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"),
-                      F.col("n_sh").alias("n_b"))
+    pair_sh = cand.select("doc_a", "doc_b").join(sh_a, "doc_a")
+    inter = (pair_sh
+             .join(sh_b, [pair_sh.doc_b == sh_b.doc_b,
+                          pair_sh.sh == sh_b.sh_b])
+             .drop(sh_b.doc_b)
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count("*").alias("n_inter")))
     return (cand.join(inter, ["doc_a", "doc_b"], "left")
             .na.fill({"n_inter": 0})
-            .join(na, "doc_a").join(nb, "doc_b")
             .withColumn("jaccard", F.round(
                 F.col("n_inter")
                 / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4))
