@@ -22,9 +22,10 @@ from adscraper_spark.pipelines import dedup as _dedup
 from adscraper_spark.pipelines import multimodal as _mm
 from adscraper_spark.pipelines import relational as _rel
 from adscraper_spark.pipelines import similarity as _sim
+from adscraper_spark.pipelines import stacks as _stk
 from adscraper_spark.pipelines import text_quality as _tq
 
-_MODULES = [_rel, _tq, _dedup, _sim, _mm, _cp]
+_MODULES = [_rel, _tq, _dedup, _sim, _mm, _cp, _stk]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -63,3 +63,56 @@ def single_url_seed(url: str, ad_id: int | None = None
                     ) -> list[tuple[int, str, int | None]]:
     """S3: one CLI-provided URL (crawler.ts:138-145)."""
     return [(0, url, ad_id)]
+
+
+# ---------------------------------------------------------------------------
+# S5: per-worker task binding (k8s indexed-job analog)
+# ---------------------------------------------------------------------------
+
+class TaskSpecError(ValueError):
+    """Reference `ExitCodes.INPUT_ERROR` analog: the per-worker task
+    spec is missing or fails validation
+    (k8s-indexed-job-worker.ts:78-98)."""
+
+
+_REQUIRED_SPEC_KEYS = ("crawlName", "resumeIfAble", "outputDir",
+                       "crawlOptions", "scrapeOptions")
+_SEED_SOURCE_KEYS = ("url", "urlList", "adUrlList")
+
+
+def read_indexed_job_task(job_dir: str, index: int) -> dict:
+    """S5: each worker of an indexed job binds to exactly one task spec,
+    ``crawl_inputs/crawl_input_${JOB_COMPLETION_INDEX}.json``, and
+    validates it before starting (k8s-indexed-job-worker.ts:78-98 reads
+    the file by index; validateCrawlSpec:55-67 schema-gates it). In the
+    Spark deployment the "index" is whatever identifies the submitted
+    job (one spark-submit per task spec); the binding and the
+    fail-fast validation semantics are the same:
+
+    - missing file  → TaskSpecError (reference: INPUT_ERROR exit)
+    - missing required field → TaskSpecError listing every violation
+      (validator collects all errors, worker logs them joined)
+    - exactly one of url / urlList / adUrlList must be present (the
+      crawler's seed-source choice, crawler.ts:138-185)
+    """
+    import json as _json
+    import os as _os
+
+    path = _os.path.join(job_dir, "crawl_inputs",
+                         f"crawl_input_{index}.json")
+    if not _os.path.exists(path):
+        raise TaskSpecError(f"Could not find crawl file at {path}")
+    with open(path) as f:
+        spec = _json.load(f)
+    errors = [f"missing required field: {k}"
+              for k in _REQUIRED_SPEC_KEYS if k not in spec]
+    sources = [k for k in _SEED_SOURCE_KEYS if spec.get(k)]
+    if len(sources) != 1:
+        errors.append(
+            f"exactly one of {_SEED_SOURCE_KEYS} required, got {sources}")
+    if errors:
+        raise TaskSpecError("Crawl flags did not pass validation: "
+                            + "; ".join(errors))
+    spec["_task_index"] = index
+    spec["_seed_source"] = sources[0]
+    return spec
