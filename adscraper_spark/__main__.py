@@ -48,11 +48,42 @@ def _build_parser() -> argparse.ArgumentParser:
     g.add_argument("--hosts", type=int, default=20)
     g.add_argument("--seed", type=int, default=42)
     g.add_argument("--content-scale", type=int, default=1)
+    z = sub.add_parser(
+        "package",
+        help="zip the package for spark-submit --py-files deploys")
+    z.add_argument("--out", default="dist/adscraper_spark.zip")
     return p
+
+
+def _package(out: str) -> str:
+    """Build the --py-files archive (every .py in the package, laid out
+    importable at the zip root). The k8s-image analog of the reference's
+    containerized worker (k8s-indexed-job-worker.ts): one artifact every
+    executor can import."""
+    import os
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    os.makedirs(os.path.dirname(os.path.abspath(out)) or ".",
+                exist_ok=True)
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fn in sorted(files):
+                if not fn.endswith(".py"):
+                    continue
+                full = os.path.join(root, fn)
+                rel = os.path.join(
+                    "adscraper_spark", os.path.relpath(full, pkg_dir))
+                zf.write(full, rel)
+    return out
 
 
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
+    if args.cmd == "package":
+        print(json.dumps({"zip": _package(args.out)}))
+        return 0
+
     from .session import build_session
 
     if args.cmd == "gen-corpus":

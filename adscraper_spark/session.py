@@ -13,9 +13,8 @@ def build_session(app: str = "adscraper_spark", cpus: int | None = None,
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(8, cpus)
-    return (
+    builder = (
         SparkSession.builder
-        .master(f"local[{cpus}]")
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
@@ -23,7 +22,14 @@ def build_session(app: str = "adscraper_spark", cpus: int | None = None,
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory",
-                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
-        .getOrCreate()
     )
+    # Under spark-submit the JVM gateway already exists and carries the
+    # --master / --driver-memory the operator chose (cluster deploys:
+    # spark-submit --py-files adscraper_spark.zip); only a standalone
+    # python process pins local[N] + driver memory itself.
+    if "PYSPARK_GATEWAY_PORT" not in os.environ:
+        builder = (builder
+                   .master(f"local[{cpus}]")
+                   .config("spark.driver.memory",
+                           os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")))
+    return builder.getOrCreate()
