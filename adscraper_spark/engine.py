@@ -670,17 +670,17 @@ class CrawlEngine:
             # rather than letting the concurrent appends below race to
             # compute the same cached partitions under the cache lock
             extracted.count()
-        n_fetched = fetched.count()  # cache scan — cheap
-        n_errors = n_planned - n_fetched
-        _tick("processed count")
         # The six per-wave appends are independent of one another (each
         # SnapshotTable owns its directory and manifest), so submit them
         # as concurrent Spark jobs: with W >> tasks-per-write executors
         # the scheduler overlaps their fixed latency and IO instead of
-        # paying it six times sequentially. Crash consistency is
-        # unaffected — _commit_wave (the only durable publish) still
-        # runs after every append has finished, and rollback discards
-        # any snapshot not pinned by a wave manifest.
+        # paying it six times sequentially. The bloom-segment update and
+        # the fetched count ride in the same pool — both read only
+        # already-materialized caches. Crash consistency is unaffected —
+        # _commit_wave (the only durable publish) still runs after every
+        # job has finished, and rollback discards any snapshot not
+        # pinned by a wave manifest (orphan bloom bits are safe: bloom
+        # hits fall through to the exact anti-join).
         appends = [(self.processed, processed_df),
                    (self.results, results_df),
                    (self.ads, ads_df),
@@ -688,14 +688,22 @@ class CrawlEngine:
                    (self.iframes, iframes_df)]
         if admissions_df is not None:
             appends.append((self.admitted, admissions_df))
-        with ThreadPoolExecutor(max_workers=len(appends)) as pool:
+        with ThreadPoolExecutor(max_workers=len(appends) + 2) as pool:
             futs = [pool.submit(table.append, df) for table, df in appends]
+            count_fut = pool.submit(fetched.count)
+            bloom_fut = None
+            if admissions_df is not None:
+                bloom_fut = pool.submit(
+                    self._update_bloom_distributed, admissions_df,
+                    wave + 1)
             for f in futs:
                 f.result()
-        _tick("table appends (parallel)")
+            n_fetched = count_fut.result()
+            if bloom_fut is not None:
+                bloom_fut.result()
+        n_errors = n_planned - n_fetched
+        _tick("table appends + bloom + count (parallel)")
         if admissions_df is not None:
-            self._update_bloom_distributed(admissions_df, wave + 1)
-            _tick("bloom update")
             admissions_df.unpersist()
         stats = {
             "planned": n_planned, "fetched": n_fetched, "errors": n_errors,
