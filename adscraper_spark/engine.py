@@ -77,6 +77,22 @@ def _norm_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield out
 
 
+def fetch_join(pages: DataFrame, sched_cols: DataFrame, n_planned: int,
+               broadcast_wave_max: int) -> DataFrame:
+    """The per-wave fetch (J7): scheduled urls ⋈ corpus. The corpus
+    side carries the html payload, so shuffling it is the most
+    expensive exchange in a wave. While the wave is broadcastable,
+    broadcast the scheduled urls into a map-side join: corpus html
+    streams straight into the extraction UDF with no exchange (S6 miss
+    rows are recovered downstream with a tiny anti-join against the
+    hit set). Waves past broadcast_wave_max fall back to the shuffle
+    join over the url-bucketed frontier layout."""
+    if n_planned <= broadcast_wave_max:
+        return pages.join(F.broadcast(sched_cols), "url")
+    return (sched_cols.join(pages, "url", "left")
+            .filter(F.col("html").isNotNull()))
+
+
 def _robots_disallowed(hosts, paths, robots_txts) -> list[bool]:
     """Arrow-batch disallow gate; the per-host parse is lru-cached so a
     batch with few distinct hosts costs ~one dict lookup per row."""
@@ -490,21 +506,10 @@ class CrawlEngine:
             sched = planned.filter(~over)
 
         # ---- fetch = equi-join vs corpus (J7); miss → error row (S6) ----
-        # The corpus side carries the html payload, so shuffling it is
-        # the most expensive exchange in a wave. While the wave is
-        # broadcastable, broadcast the scheduled urls into a map-side
-        # join: corpus html streams straight into the extraction UDF
-        # with no exchange, and the S6 miss rows are recovered with a
-        # tiny anti-join against the hit set. Waves past
-        # broadcast_wave_max fall back to the shuffle join over the
-        # url-bucketed frontier layout.
         sched_cols = sched.select("url", "host", "path", "depth",
                                   "priority", "seq", "src_url", "ad_id")
-        if n_planned <= cfg.broadcast_wave_max:
-            fetched = pages.join(F.broadcast(sched_cols), "url").cache()
-        else:
-            fetched = (sched_cols.join(pages, "url", "left")
-                       .filter(F.col("html").isNotNull()).cache())
+        fetched = fetch_join(pages, sched_cols, n_planned,
+                             cfg.broadcast_wave_max).cache()
         # Extraction is CPU-bound Python-side work: AQE coalesces the join
         # output by *bytes* (fine for scans, wrong for a 2-5 ms/row UDF
         # stage), so repartition to full parallelism before the UDF.
