@@ -183,22 +183,29 @@ def bench_kernel(corpus_paths: dict[str, str]) -> dict:
         return (cand.filter(F.col("url").isNotNull())
                 .groupBy("url").count().count())
 
-    out = {}
     n_pages_approx = CRAWL_PAGES // 3
-    for cpus in (KERNEL_LOW, KERNEL_HIGH):
-        spark = _session(cpus)
-        kernel(spark, 60, cpus)  # warm workers/JIT on ~1/60 of corpus
-        dt = None
-        for _trial in range(3):  # best-of-3: damp disk/GC interference
+    # Interleave the two parallelism levels trial-by-trial: host-steal
+    # noise comes in multi-minute phases, so measuring all of local[N]
+    # then all of local[4N] would let one side sample only a noisy
+    # phase and skew the ratio. Paired-in-time trials give both sides
+    # the same weather; best-of-3 per side damps the residue.
+    dts = {KERNEL_LOW: None, KERNEL_HIGH: None}
+    for trial in range(3):
+        for cpus in (KERNEL_LOW, KERNEL_HIGH):
+            spark = _session(cpus)
+            kernel(spark, 60, cpus)  # warm workers/JIT on ~1/60 corpus
             os.sync()
             t0 = time.time()
             kernel(spark, 3, cpus)   # ~1/3 of corpus
-            dt = min(dt or 1e9, time.time() - t0)
-        spark.stop()
-        time.sleep(2)  # let the stopped JVM's disk flush settle
+            dt = time.time() - t0
+            dts[cpus] = min(dts[cpus] or 1e9, dt)
+            spark.stop()
+            time.sleep(2)  # let the stopped JVM's disk flush settle
+    out = {}
+    for cpus in (KERNEL_LOW, KERNEL_HIGH):
         out[f"local[{cpus}]"] = {
-            "wall_sec": round(dt, 2),
-            "pages_per_sec": round(n_pages_approx / dt, 1)}
+            "wall_sec": round(dts[cpus], 2),
+            "pages_per_sec": round(n_pages_approx / dts[cpus], 1)}
     ratio = KERNEL_HIGH / KERNEL_LOW
     lo = out[f"local[{KERNEL_LOW}]"]["pages_per_sec"]
     hi = out[f"local[{KERNEL_HIGH}]"]["pages_per_sec"]
