@@ -40,6 +40,11 @@ class CrawlConfig:
     # payload); bigger waves fall back to the shuffle join over the
     # url-bucketed frontier layout.
     broadcast_wave_max: int = 5_000_000
+    # Compact the admitted/processed frontier logs back to
+    # frontier_buckets files every K waves (None = never). Iceberg
+    # rewrite_data_files analog; keeps the per-wave pending anti-join
+    # from degrading into a many-thousand-file scan on long crawls.
+    compact_every: int | None = None
     # Z5 failure/retry semantics: a fetch error is retried in a later
     # wave until this many attempts (reference analog: k8s
     # backoffLimitPerIndex=20, indexed-job.yaml:10-14). 1 = no retry.

@@ -747,6 +747,16 @@ class CrawlEngine:
             if stats.get("planned", 0) == 0:
                 break
             out.append({"wave": wave, **stats})
+            # Frontier-log maintenance (Iceberg rewrite_data_files
+            # analog): every K waves fold the accumulated per-wave
+            # append files of the two anti-join inputs back into
+            # num_buckets files. The compaction snapshot is not pinned
+            # by a wave manifest; a crash before the next commit rolls
+            # back to identical pre-compact data.
+            ce = self.config.compact_every
+            if ce is not None and wave % ce == 0:
+                self.admitted.compact(self.spark)
+                self.processed.compact(self.spark)
             wave += 1
         return out
 

@@ -140,6 +140,25 @@ class SnapshotTable:
         props.update(properties or {})
         return self._publish(files, props, snap.snapshot_id)
 
+    def compact(self, spark: SparkSession,
+                properties: dict | None = None) -> int | None:
+        """Iceberg ``rewrite_data_files`` analog: fold all live data
+        directories (one accumulates per table per wave) into a single
+        bucketed write published as a NEW snapshot. Old data files stay
+        on disk, so rollback to any manifest-pinned snapshot still
+        works; losing an unpinned compaction snapshot to a crash is
+        harmless (the data is identical either way). At 10^10-frontier
+        scale this is what keeps the per-wave pending anti-join from
+        degrading into a many-thousand-file scan."""
+        snap = self.snapshot()
+        if len(snap.files) <= 1:
+            return None
+        df = spark.read.parquet(*snap.files)
+        props = dict(snap.properties)
+        props.update(properties or {})
+        props["compacted_from_files"] = len(snap.files)
+        return self._publish(self._write_data(df), props, snap.snapshot_id)
+
     def read(self, spark: SparkSession,
              snapshot_id: int | None = None) -> DataFrame | None:
         snap = self.snapshot(snapshot_id)
