@@ -41,6 +41,10 @@ def _build_parser() -> argparse.ArgumentParser:
     c.add_argument("--site-budget-seconds", type=float, default=None,
                    help="Z2 per-site virtual time budget per wave "
                         "(reference: 15-min site race, crawler.ts:80-97)")
+    c.add_argument("--compact-every", type=int, default=None,
+                   help="fold frontier logs to the bucketed layout "
+                        "every K waves (Iceberg rewrite_data_files "
+                        "analog)")
     c.add_argument("--cpus", type=int, default=None)
     g = sub.add_parser("gen-corpus", help="write a synthetic corpus")
     g.add_argument("--out", required=True)
@@ -111,7 +115,8 @@ def main(argv: list[str] | None = None) -> int:
                       default_budget=args.default_budget,
                       max_retries=args.max_retries,
                       salt_fanout=args.salt_fanout,
-                      site_budget_seconds=args.site_budget_seconds)
+                      site_budget_seconds=args.site_budget_seconds,
+                      compact_every=args.compact_every)
     eng = CrawlEngine(spark, args.pages, args.robots, args.workdir, cfg)
     resuming = eng.last_committed_wave() >= 0
     if not resuming:
