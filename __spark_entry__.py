@@ -21,11 +21,12 @@ from adscraper_spark.pipelines import crawl_parity as _cp
 from adscraper_spark.pipelines import dedup as _dedup
 from adscraper_spark.pipelines import multimodal as _mm
 from adscraper_spark.pipelines import relational as _rel
+from adscraper_spark.pipelines import sampling as _smp
 from adscraper_spark.pipelines import similarity as _sim
 from adscraper_spark.pipelines import stacks as _stk
 from adscraper_spark.pipelines import text_quality as _tq
 
-_MODULES = [_rel, _tq, _dedup, _sim, _mm, _cp, _stk]
+_MODULES = [_rel, _tq, _dedup, _sim, _mm, _cp, _stk, _smp]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -315,10 +315,85 @@ ORDER BY doc_a, doc_b
 """
 
 
+# ---------------------------------------------------------------------------
+# duplicate-cluster resolution: connected components over verified
+# near-dup pairs → one canonical doc per cluster (the dedup endgame a
+# training-data pipeline actually ships)
+# ---------------------------------------------------------------------------
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the LSH-verified near-dup pairs via
+    iterative min-label propagation; every document gets a cluster id
+    (= min doc_id in its component) and an ``is_canonical`` keep flag.
+
+    Scale shape: each iteration is one edge⋈label join + one groupBy —
+    all shuffles on (doc_id, label) longs, never on text; iteration
+    count is the component diameter (near-dup clusters are shallow —
+    single digits even at 10^10 docs). The driver-side loop only
+    checks a converged count per iteration (GraphX/GraphFrames'
+    connected-components pattern without the dependency)."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"),
+                     F.col("doc_a").alias("doc_b")))
+        .withColumnRenamed("doc_a", "src")
+        .withColumnRenamed("doc_b", "dst")
+        .cache())
+    labels = (_docs(spark, sf_dir)
+              .select("doc_id", F.col("doc_id").alias("cluster"))
+              .cache())
+    labels.count()
+    while True:
+        nb_min = (edges.join(labels, edges.dst == labels.doc_id)
+                  .groupBy("src").agg(F.min("cluster").alias("nb_min")))
+        new_labels = (labels.join(nb_min, labels.doc_id == nb_min.src,
+                                  "left")
+                      .select(labels.doc_id,
+                              F.least(F.col("cluster"),
+                                      F.coalesce("nb_min", F.col("cluster"))
+                                      ).alias("cluster"))
+                      .cache())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "doc_id")
+                   .filter(F.col("n.cluster") != F.col("o.cluster"))
+                   .count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return (labels.select(
+        "doc_id", "cluster",
+        (F.col("doc_id") == F.col("cluster")).alias("is_canonical"))
+        .orderBy("doc_id"))
+
+
+def dedup_clusters_sql() -> str:
+    # the verified-pairs query embeds as a CTE; DuckDB's recursive CTE
+    # computes the same components exactly
+    return f"""
+WITH RECURSIVE pairs AS ({dedup_minhash_lsh_sql()}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(doc, root) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.doc
+)
+SELECT doc AS doc_id, min(root) AS cluster,
+       doc = min(root) AS is_canonical
+FROM reach GROUP BY doc ORDER BY doc
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "minhash_signatures": minhash_signatures,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_clusters": dedup_clusters,
     "simhash": simhash,
     "ngram_jaccard": ngram_jaccard,
 }
@@ -326,6 +401,7 @@ ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "minhash_signatures": MINHASH_SIGNATURES_SQL,
     "dedup_minhash_lsh": dedup_minhash_lsh_sql(),
+    "dedup_clusters": dedup_clusters_sql(),
     "simhash": simhash_sql(),
     "ngram_jaccard": ngram_jaccard_sql(),
 }
