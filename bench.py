@@ -30,6 +30,8 @@ HEADLINE = [
     "token_count", "lang_id", "quality_score",
     "ann_cosine_topk", "ann_lsh_buckets", "near_dup_embeddings",
     "multimodal_ingest", "media_features", "frame_sample",
+    "dedup_clusters", "train_test_split", "stratified_sample",
+    "x10_stack_trace_urls", "t4_url_set_merge",
 ]
 
 CRAWL_PAGES = int(os.environ.get("BENCH_CRAWL_PAGES", "120000"))
