@@ -88,16 +88,25 @@ class SnapshotTable:
     def _publish(self, files: list[str], properties: dict,
                  expected_parent: int) -> int:
         """Optimistic-concurrency commit: fails if HEAD moved since the
-        caller read it (Iceberg's compare-and-swap semantics)."""
+        caller read it (Iceberg's compare-and-swap semantics). The CAS
+        is the EXCLUSIVE CREATE of the snapshot manifest — a plain
+        exists-check would leave a window where two committers with the
+        same parent both write snap-(N+1), one silently overwriting the
+        other (e.g. a streamed seed batch racing a wave's admitted
+        append)."""
         new_id = expected_parent + 1
         meta = os.path.join(self.path, "meta")
         snap_path = os.path.join(meta, f"snap-{new_id}.json")
-        if os.path.exists(snap_path):
-            raise CommitError(f"snapshot {new_id} already exists")
         if self.current_snapshot_id() != expected_parent:
             raise CommitError("concurrent commit detected")
-        with open(snap_path, "w") as f:
-            json.dump({"files": files, "properties": properties}, f)
+        try:
+            fh = open(snap_path, "x")
+        except FileExistsError:
+            raise CommitError(
+                f"concurrent commit detected: snapshot {new_id} "
+                "already exists") from None
+        with fh:
+            json.dump({"files": files, "properties": properties}, fh)
         tmp = os.path.join(meta, f".HEAD.{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
             f.write(str(new_id))
@@ -113,11 +122,22 @@ class SnapshotTable:
         return [part]
 
     def append(self, df: DataFrame, properties: dict | None = None) -> int:
-        snap = self.snapshot()
+        """Appends are commutative, so a lost CAS retries against the
+        new HEAD with the already-written data files (Iceberg's
+        commit.retry semantics) — concurrent appenders to the same
+        table (streamed seed intake vs the wave loop) both land."""
         files = self._write_data(df)
-        props = dict(snap.properties)
-        props.update(properties or {})
-        return self._publish(snap.files + files, props, snap.snapshot_id)
+        last_err: CommitError | None = None
+        for _attempt in range(5):
+            snap = self.snapshot()
+            props = dict(snap.properties)
+            props.update(properties or {})
+            try:
+                return self._publish(snap.files + files, props,
+                                     snap.snapshot_id)
+            except CommitError as e:
+                last_err = e
+        raise last_err
 
     def overwrite(self, df: DataFrame, properties: dict | None = None) -> int:
         snap = self.snapshot()

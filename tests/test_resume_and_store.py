@@ -110,3 +110,19 @@ def test_compaction_preserves_state_and_folds_files(
     b2.run()  # no waves left; exercises rollback only
     assert a.crawl_order() == b2.crawl_order()
     assert a.seen_set() == b2.seen_set()
+
+
+def test_concurrent_appends_both_land(spark, tmp_path):
+    """Two threads appending to the SAME table must both commit (CAS on
+    the manifest + append retry) — the streamed-seed-batch vs wave-loop
+    race. Before the exclusive-create CAS one silently overwrote the
+    other's manifest."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = SnapshotTable(str(tmp_path / "race"))
+    dfs = [spark.createDataFrame([(i,)], "a int") for i in range(6)]
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        list(pool.map(t.append, dfs))
+    got = sorted(r["a"] for r in t.read(spark).collect())
+    assert got == [0, 1, 2, 3, 4, 5]
+    assert t.current_snapshot_id() == 6  # six distinct commits
