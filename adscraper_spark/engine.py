@@ -49,7 +49,7 @@ from .config import CrawlConfig
 from .extraction.udfs import extract_pages
 from .hashing import stable_hash64
 from .scheduler import plan_wave
-from .store import SnapshotTable
+from .store import CommitError, SnapshotTable
 from .urlnorm import normalize_url, url_host, url_path
 
 DISCOVERED_SEQ_BASE = 1 << 33  # seeds keep list-index seq below this
@@ -755,8 +755,13 @@ class CrawlEngine:
             # back to identical pre-compact data.
             ce = self.config.compact_every
             if ce is not None and wave % ce == 0:
-                self.admitted.compact(self.spark)
-                self.processed.compact(self.spark)
+                for table in (self.admitted, self.processed):
+                    try:
+                        table.compact(self.spark)
+                    except CommitError:
+                        # lost the CAS to a concurrent streamed seed
+                        # append — compaction is maintenance, skip it
+                        pass
             wave += 1
         return out
 
