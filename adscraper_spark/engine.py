@@ -7,7 +7,8 @@ scheduling WAVES; each wave is one declarative Spark plan:
 
   pending (admitted ⟕̸ processed, append-only logs — no frontier rewrite)
     → per-host windowed top-k under politeness budgets   (scheduler.py)
-    → "fetch" = left join against the pages corpus       (J7/S6)
+    → "fetch" = broadcast(wave) ⋈ pages corpus — html
+      never shuffles (size-gated, shuffle fallback)       (J7/S6)
     → vectorized extraction UDF                          (extraction/)
     → link candidates → normalize → same-host filter (F4)
       → robots gate → in-wave dedup → bloom pre-filter
