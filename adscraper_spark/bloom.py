@@ -130,7 +130,20 @@ class BloomStore:
         # admit_seeds batch landing at the same wave must both survive).
         # Extra bits inherited from a rolled-back orphan segment are safe:
         # bloom hits fall through to the exact anti-join (SURVEY §4.2).
-        seg = self.load_segment(partition, wave)
-        seg.add_many(urls)
-        os.makedirs(os.path.join(self.root, f"p{partition}"), exist_ok=True)
-        seg.save(self.segment_path(partition, wave))
+        # The load→add→save is serialized per segment with an flock:
+        # two concurrent updaters (streamed-seed intake racing the wave
+        # loop on the same segment) would otherwise lose the first
+        # writer's bits — a lost bit makes the prefilter call an
+        # already-admitted URL "definitely new", skipping the exact
+        # anti-join and crawling it twice. (On a real cluster each
+        # segment is owned by one applyInPandas task per job; the lock
+        # covers concurrent *jobs* sharing a filesystem.)
+        import fcntl
+
+        d = os.path.join(self.root, f"p{partition}")
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, ".lock"), "w") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            seg = self.load_segment(partition, wave)
+            seg.add_many(urls)
+            seg.save(self.segment_path(partition, wave))

@@ -559,9 +559,11 @@ class CrawlEngine:
                     ("script_srcs", "script"), ("img_srcs", "img")]
         def _tag(col_name: str, rtype: str):
             # NB: the lambda must be unary — F.transform feeds a second
-            # arg (the element index) to binary lambdas.
+            # arg (the element index) to binary lambdas. coalesce: one
+            # NULL array would null the whole flatten and drop every
+            # request row of the ad.
             return F.transform(
-                F.col(col_name),
+                F.coalesce(F.col(col_name), F.array()),
                 lambda x: F.struct(x.alias("target_url"),
                                    F.lit(rtype).alias("resource_type")))
 

@@ -119,7 +119,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify join is the expensive part and is proportional to
     collisions, not to corpus²."""
     doc = _docs(spark, sf_dir)
-    sh = _shingle_df(doc)
+    # One explode, three consumers (signature agg, size agg, verify
+    # join): cache it so the shingle explode runs once, not three times.
+    # (Same logical plan every call → one cache entry, no growth.)
+    sh = _shingle_df(doc).cache()
     sig = _signatures_from(sh).join(
         sh.groupBy("doc_id").agg(F.count("*").alias("n_sh")), "doc_id")
     band_structs = F.array(*[

@@ -142,9 +142,9 @@ def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), n_frames - 1),
         lambda i: F.struct(
             i.alias("frame_idx"),
-            F.md5(F.substring(F.col("payload").cast("string"),
-                              i * FRAME_BYTES + 1, FRAME_BYTES)
-                  .cast("binary")).alias("frame_md5")))
+            F.md5(F.substring(F.col("payload"),
+                              i * FRAME_BYTES + 1, FRAME_BYTES))
+            .alias("frame_md5")))
     return (media.filter(F.col("n_bytes") > 0)
             .select("doc_id", F.explode(frames).alias("f"))
             .select("doc_id", F.col("f.frame_idx").alias("frame_idx"),

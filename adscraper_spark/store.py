@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 from dataclasses import dataclass
 
@@ -30,6 +31,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 class CommitError(RuntimeError):
     pass
+
+
+# How long a fully-written snap-N.json may sit unpublished (HEAD not
+# advanced) before another committer adopts it as abandoned. The
+# create→rename window of a live writer is milliseconds; anything older
+# is a crashed/killed writer that would otherwise wedge every later
+# append in a long-running process.
+ORPHAN_GRACE_SECONDS = 1.0
 
 
 @dataclass
@@ -99,19 +108,52 @@ class SnapshotTable:
         snap_path = os.path.join(meta, f"snap-{new_id}.json")
         if self.current_snapshot_id() != expected_parent:
             raise CommitError("concurrent commit detected")
+        # Write the manifest FULLY to a tmp name, then hardlink it onto
+        # the snap path: link() is the exclusive-create CAS *and*
+        # guarantees any visible snap file has complete content — which
+        # is what lets a later committer safely adopt an orphan (writer
+        # died between link and HEAD rename, _maybe_adopt_orphan).
+        tmp = os.path.join(meta, f".snap.{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump({"files": files, "properties": properties}, fh)
         try:
-            fh = open(snap_path, "x")
+            os.link(tmp, snap_path)
         except FileExistsError:
             raise CommitError(
                 f"concurrent commit detected: snapshot {new_id} "
                 "already exists") from None
-        with fh:
-            json.dump({"files": files, "properties": properties}, fh)
+        finally:
+            os.unlink(tmp)
+        self._write_head(new_id)
+        return new_id
+
+    def _write_head(self, snapshot_id: int) -> None:
+        meta = os.path.join(self.path, "meta")
         tmp = os.path.join(meta, f".HEAD.{uuid.uuid4().hex}")
         with open(tmp, "w") as f:
-            f.write(str(new_id))
+            f.write(str(snapshot_id))
         os.rename(tmp, self._head_path())  # atomic publish
-        return new_id
+
+    def _maybe_adopt_orphan(self, expected_parent: int) -> bool:
+        """If snap-(parent+1).json exists, is complete, and HEAD has sat
+        at ``expected_parent`` past the grace period, its writer died
+        between manifest create and HEAD rename: finish the publish on
+        its behalf (idempotent — if the writer is merely slow, both
+        write the same HEAD value). Returns True if adopted."""
+        new_id = expected_parent + 1
+        snap_path = os.path.join(self.path, "meta", f"snap-{new_id}.json")
+        if self.current_snapshot_id() != expected_parent:
+            return False  # HEAD moved on its own
+        try:
+            if (time.time() - os.path.getmtime(snap_path)
+                    < ORPHAN_GRACE_SECONDS):
+                return False
+            with open(snap_path) as f:
+                json.load(f)  # complete content (guaranteed by link())
+        except (OSError, ValueError):
+            return False
+        self._write_head(new_id)
+        return True
 
     # -- data ---------------------------------------------------------------
     def _write_data(self, df: DataFrame) -> list[str]:
@@ -128,7 +170,7 @@ class SnapshotTable:
         table (streamed seed intake vs the wave loop) both land."""
         files = self._write_data(df)
         last_err: CommitError | None = None
-        for _attempt in range(5):
+        for attempt in range(5):
             snap = self.snapshot()
             props = dict(snap.properties)
             props.update(properties or {})
@@ -137,6 +179,18 @@ class SnapshotTable:
                                      snap.snapshot_id)
             except CommitError as e:
                 last_err = e
+                # Back off until HEAD advances past the parent we lost
+                # to (the winner is mid-publish: between snap create and
+                # HEAD rename) — immediate retries would re-read the
+                # unchanged HEAD and burn every attempt inside that
+                # window. If HEAD never advances, the winner died:
+                # adopt its orphan manifest so the table doesn't wedge.
+                deadline = time.time() + ORPHAN_GRACE_SECONDS + 0.5
+                while (time.time() < deadline
+                       and self.current_snapshot_id() == snap.snapshot_id):
+                    if self._maybe_adopt_orphan(snap.snapshot_id):
+                        break
+                    time.sleep(0.02 * (attempt + 1))
         raise last_err
 
     def overwrite(self, df: DataFrame, properties: dict | None = None) -> int:

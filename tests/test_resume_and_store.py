@@ -126,3 +126,47 @@ def test_concurrent_appends_both_land(spark, tmp_path):
     got = sorted(r["a"] for r in t.read(spark).collect())
     assert got == [0, 1, 2, 3, 4, 5]
     assert t.current_snapshot_id() == 6  # six distinct commits
+
+
+def test_orphan_snapshot_adopted(spark, tmp_path, monkeypatch):
+    """A committer that dies between manifest create and HEAD rename
+    leaves snap-(N+1).json with HEAD still at N. The next append must
+    adopt the orphan (publish it) and land on top — not burn all its
+    retries re-failing the exclusive create."""
+    import json
+    import os
+
+    from adscraper_spark import store as store_mod
+
+    monkeypatch.setattr(store_mod, "ORPHAN_GRACE_SECONDS", 0.05)
+    t = SnapshotTable(str(tmp_path / "orphan"))
+    t.append(spark.createDataFrame([(1,)], "a int"))
+    assert t.current_snapshot_id() == 1
+    # simulate the crash: a fully-written snap-2.json, HEAD still 1
+    snap2 = os.path.join(t.path, "meta", "snap-2.json")
+    with open(snap2, "w") as f:
+        json.dump({"files": list(t.snapshot().files), "properties": {}}, f)
+    t.append(spark.createDataFrame([(2,)], "a int"))
+    # orphan published as snapshot 2, our append as snapshot 3
+    assert t.current_snapshot_id() == 3
+    got = sorted(r["a"] for r in t.read(spark).collect())
+    assert got == [1, 2]  # orphan listed snapshot-1's file, no dup data
+
+
+def test_bloom_concurrent_segment_updates_merge(tmp_path):
+    """Two updaters racing on the same bloom segment must both land
+    (flock around load→add→save): a lost bit turns an already-admitted
+    URL into a 'definitely new' prefilter verdict, skipping the exact
+    anti-join and double-crawling the URL."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from adscraper_spark.bloom import BloomStore
+
+    store = BloomStore(str(tmp_path / "bloom"), num_partitions=2,
+                       expected_keys_per_partition=1000)
+    batches = [[f"https://h.test/{b}/{i}" for i in range(200)]
+               for b in range(8)]
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        list(pool.map(lambda us: store.update_segment(0, 3, us), batches))
+    seg = store.load_segment(0, 3)
+    assert all(seg.might_contain(u) for us in batches for u in us)
