@@ -47,6 +47,7 @@ from pyspark.sql import types as T
 
 from .bloom import BloomStore, partition_for_host
 from .config import CrawlConfig
+from .corpus_layout import bucket_id_col, corpus_layout, read_pruned
 from .extraction.udfs import extract_pages
 from .hashing import stable_hash64
 from .scheduler import plan_wave
@@ -125,6 +126,10 @@ class CrawlEngine:
         self.spark = spark
         self.config = config or CrawlConfig()
         self.pages_path = pages_path
+        # Bucketed-corpus layout marker (corpus_layout.bucketize_corpus):
+        # when present, each wave's fetch scan is pruned to the wave's
+        # url-bucket set instead of scanning the whole corpus.
+        self.pages_layout = corpus_layout(pages_path)
         self.workdir = workdir
         os.makedirs(workdir, exist_ok=True)
         buckets = self.config.frontier_buckets
@@ -470,8 +475,6 @@ class CrawlEngine:
 
         cfg = self.config
         spark = self.spark
-        pages = spark.read.parquet(self.pages_path).select(
-            "url", "html", "warc_ts", "lang")
 
         pending = self.pending_df()
         planned = plan_wave(
@@ -482,14 +485,31 @@ class CrawlEngine:
         planned = planned.cache()
         # one job: wave size + approx distinct hosts (lineage metric,
         # SURVEY §2.4 — sketch, not exact, so no extra shuffle width)
-        prow = planned.agg(
-            F.count("*").alias("n"),
-            F.approx_count_distinct("host").alias("hosts")).collect()[0]
+        # + (bucketed corpus) the wave's url-bucket set for scan pruning
+        # — ≤ num_buckets ints, it rides the same agg instead of its own
+        # job.
+        aggs = [F.count("*").alias("n"),
+                F.approx_count_distinct("host").alias("hosts")]
+        if self.pages_layout is not None:
+            aggs.append(F.collect_set(
+                bucket_id_col(self.pages_layout["num_buckets"]))
+                .alias("wave_buckets"))
+        prow = planned.agg(*aggs).collect()[0]
         n_planned, n_hosts = prow["n"], prow["hosts"]
         _tick(f"plan ({n_planned})")
         if n_planned == 0:
             planned.unpersist()
             return {"planned": 0}
+
+        # Corpus scan for this wave: pruned to the wave's bucket dirs
+        # when the corpus is bucketed (scan ∝ wave spread, not corpus
+        # size — the property that holds at a 10^10-URL frontier).
+        if self.pages_layout is not None:
+            pages = read_pruned(spark, self.pages_path, self.pages_layout,
+                                prow["wave_buckets"])
+        else:
+            pages = spark.read.parquet(self.pages_path)
+        pages = pages.select("url", "html", "warc_ts", "lang")
 
         # ---- Z2 site time budget (crawler.ts:80-97 Promise.race): each
         # fetch on a host costs wave_seconds/host_budget of virtual time;

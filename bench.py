@@ -158,6 +158,86 @@ def bench_crawl(spark, corpus_paths: dict[str, str]) -> dict:
     return best
 
 
+PRUNE_SMALL_PAGES = int(os.environ.get("BENCH_PRUNE_SMALL", "12000"))
+PRUNE_WAVE_URLS = int(os.environ.get("BENCH_PRUNE_WAVE", "100"))
+PRUNE_PAGES_PER_BUCKET = 50
+
+
+def bench_fetch_prune(spark, big_paths: dict[str, str]) -> dict:
+    """Scan-pruning evidence (VERDICT r02 #1): the same fixed-size wave
+    over a bucketed corpus at 1× and 10× pages — wave time must stay
+    ~flat (scan ∝ wave's bucket set, buckets sized ∝ corpus) — plus the
+    unpruned 10× corpus as contrast (scan ∝ corpus). Small-corpus pages
+    are a subset of the big corpus (page_url is count-independent), so
+    the identical seed set exists in all three."""
+    from adscraper_spark.config import CrawlConfig
+    from adscraper_spark.corpus import (
+        CorpusSpec, gen_seeds, write_corpus_spark,
+    )
+    from adscraper_spark.corpus_layout import bucketize_corpus
+    from adscraper_spark.engine import CrawlEngine
+
+    big_spec = _bench_spec()
+    small_spec = CorpusSpec(
+        n_pages=PRUNE_SMALL_PAGES, n_hosts=big_spec.n_hosts,
+        seed=big_spec.seed, mega_host_weight=big_spec.mega_host_weight,
+        content_scale=big_spec.content_scale)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"bench_prune_{PRUNE_SMALL_PAGES}_{CRAWL_PAGES}_{CRAWL_HOSTS}")
+    small_dir = os.path.join(root, "small")
+    small_bucketed = os.path.join(root, "small_bucketed")
+    big_bucketed = os.path.join(root, "big_bucketed")
+    if not os.path.exists(os.path.join(small_bucketed,
+                                       "_corpus_layout.json")):
+        write_corpus_spark(spark, small_spec, small_dir, partitions=CPUS)
+        bucketize_corpus(spark, os.path.join(small_dir, "pages.parquet"),
+                         small_bucketed,
+                         PRUNE_SMALL_PAGES // PRUNE_PAGES_PER_BUCKET)
+        bucketize_corpus(spark, big_paths["pages"], big_bucketed,
+                         CRAWL_PAGES // PRUNE_PAGES_PER_BUCKET)
+
+    seeds = [(i, u) for i, u in enumerate(
+        gen_seeds(small_spec, PRUNE_WAVE_URLS, include_bad=False))]
+    cfg = CrawlConfig(wave_seconds=600, default_budget=200, max_waves=1,
+                      max_depth=0)
+    work_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+
+    def one_wave(pages_path: str) -> float:
+        best = None
+        for _ in range(3):
+            work = tempfile.mkdtemp(prefix="bench_prune_", dir=work_root)
+            try:
+                eng = CrawlEngine(spark, pages_path, big_paths["robots"],
+                                  work, cfg)
+                eng.bootstrap(seeds)
+                os.sync()
+                t0 = time.time()
+                eng.run()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            finally:
+                shutil.rmtree(work, ignore_errors=True)
+        return round(best, 2)
+
+    # warm page cache on all three layouts before timing
+    for p in (small_bucketed, big_bucketed, big_paths["pages"]):
+        one_wave(p)
+    t_small = one_wave(small_bucketed)
+    t_big = one_wave(big_bucketed)
+    t_big_unpruned = one_wave(big_paths["pages"])
+    return {
+        "wave_urls": PRUNE_WAVE_URLS,
+        "small_bucketed": {"pages": PRUNE_SMALL_PAGES,
+                           "wave_sec": t_small},
+        "big_bucketed": {"pages": CRAWL_PAGES, "wave_sec": t_big},
+        "big_unpruned": {"pages": CRAWL_PAGES,
+                         "wave_sec": t_big_unpruned},
+        "wave_time_ratio_10x_corpus": round(t_big / t_small, 2),
+        "prune_speedup_on_10x": round(t_big_unpruned / t_big, 2),
+    }
+
+
 def bench_kernel(corpus_paths: dict[str, str]) -> dict:
     """Scaling-efficiency evidence on the throughput-critical dataflow:
     scan → repartition → extraction UDF → link explode → normalize UDF →
@@ -268,6 +348,7 @@ def main() -> None:
         "seeds": os.path.join(corpus_root, "seeds.parquet"),
         "robots": os.path.join(corpus_root, "robots.parquet"),
     }
+    fetch_prune = bench_fetch_prune(spark, corpus_paths)
     spark.stop()
 
     # --- crawls at two parallelism levels, each in a FRESH session ----
@@ -303,6 +384,7 @@ def main() -> None:
             "scaling_efficiency": round(eff, 3),
         },
         "kernel_scaling": kernel,
+        "fetch_prune": fetch_prune,
         "selector_index": bench_selector_index(),
         "total_bench_sec": round(time.time() - t_total, 1),
     }
@@ -363,6 +445,27 @@ def _write_bench_md(r: dict) -> None:
         "",
         f"Reference ceiling: ≲0.2 pages/s/worker (BASELINE.md); this "
         f"engine: {r['value']} URLs/s end-to-end on one machine.",
+        "",
+        "## Per-wave fetch-scan pruning (bucketed corpus)",
+        "",
+        "Same fixed wave "
+        f"({r['fetch_prune']['wave_urls']} URLs) over a bucketed corpus "
+        "at 1× and 10× pages (buckets ∝ corpus, so pages/bucket is "
+        "constant), plus the unpruned 10× corpus as contrast:",
+        "",
+        "| corpus | pages | wave (s) |",
+        "| --- | --- | --- |",
+        f"| bucketed 1× | {r['fetch_prune']['small_bucketed']['pages']} | "
+        f"{r['fetch_prune']['small_bucketed']['wave_sec']} |",
+        f"| bucketed 10× | {r['fetch_prune']['big_bucketed']['pages']} | "
+        f"{r['fetch_prune']['big_bucketed']['wave_sec']} |",
+        f"| unpruned 10× | {r['fetch_prune']['big_unpruned']['pages']} | "
+        f"{r['fetch_prune']['big_unpruned']['wave_sec']} |",
+        "",
+        f"10× the corpus costs {r['fetch_prune']['wave_time_ratio_10x_corpus']}× "
+        "the wave time when bucketed (scan ∝ wave's bucket set); "
+        f"pruning is {r['fetch_prune']['prune_speedup_on_10x']}× faster "
+        "than the full-corpus scan at 10×.",
         "",
         "## SelectorIndex at EasyList scale",
         "",

@@ -152,3 +152,78 @@ def test_fetch_join_fallback_is_shuffle_join(spark):
         #  html-notnull filter into the join itself)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_corpus_scan_prunes_to_wave_buckets(spark, tmp_path):
+    """The per-wave fetch scan over a bucketed corpus must touch ONLY
+    the wave's bucket partitions (partition pruning at the file index),
+    so wave cost scales with wave size, not corpus size."""
+    import os
+
+    from adscraper_spark.corpus import CorpusSpec, write_corpus_parquet
+    from adscraper_spark.corpus_layout import (
+        BUCKET_COL, bucket_id_col, bucketize_corpus, corpus_layout,
+        read_pruned,
+    )
+
+    spec = CorpusSpec(n_pages=400, n_hosts=10, seed=7)
+    plain = str(tmp_path / "plain")
+    write_corpus_parquet(spec, plain)
+    bucketed = str(tmp_path / "bucketed")
+    n_buckets = 64
+    bucketize_corpus(spark, os.path.join(plain, "pages.parquet"),
+                     bucketed, n_buckets)
+    layout = corpus_layout(bucketed)
+    assert layout["num_buckets"] == n_buckets
+
+    # a small "wave": 5 urls → ≤5 buckets
+    wave_urls = [spec.page_url(0, j) for j in range(5)]
+    wave = spark.createDataFrame([(u,) for u in wave_urls], "url string")
+    ids = [r[0] for r in
+           wave.select(bucket_id_col(n_buckets)).distinct().collect()]
+    pruned = read_pruned(spark, bucketed, layout, ids)
+
+    # 1) the physical scan carries the partition filter
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and BUCKET_COL in plan, plan
+
+    # 2) rows actually come only from the selected bucket dirs, and the
+    #    files read are a strict subset of the corpus layout
+    files = [r[0] for r in pruned.select(
+        F.input_file_name()).distinct().collect()]
+    assert files and all(
+        any(f"{BUCKET_COL}={i}/" in f for i in ids) for f in files)
+    all_buckets = [d for d in os.listdir(bucketed)
+                   if d.startswith(f"{BUCKET_COL}=")]
+    assert len(all_buckets) > len(ids)  # pruning is real, not vacuous
+
+    # 3) every wave url is still found (pruning never loses a hit)
+    hit = pruned.join(wave, "url").count()
+    assert hit == len(wave_urls)
+
+
+def test_engine_on_bucketed_corpus_matches_plain(spark, tmp_path,
+                                                 corpus, corpus_spec,
+                                                 crawl_config, seeds):
+    """Same crawl, bucketed vs plain corpus layout: identical order,
+    seen-set, and results (the pruning is purely a scan optimization)."""
+    from adscraper_spark.corpus_layout import bucketize_corpus
+    from adscraper_spark.engine import CrawlEngine
+
+    bucketed = bucketize_corpus(spark, corpus["pages"],
+                                str(tmp_path / "bpages"), 32)
+    a = CrawlEngine(spark, corpus["pages"], corpus["robots"],
+                    str(tmp_path / "wa"), crawl_config)
+    a.bootstrap(seeds)
+    a.run(max_waves=3)
+    b = CrawlEngine(spark, bucketed, corpus["robots"],
+                    str(tmp_path / "wb"), crawl_config)
+    assert b.pages_layout is not None
+    b.bootstrap(seeds)
+    b.run(max_waves=3)
+    assert a.crawl_order() == b.crawl_order()
+    assert a.seen_set() == b.seen_set()
+    ra = a.results.read(spark).select("url", "wave", "text")
+    rb = b.results.read(spark).select("url", "wave", "text")
+    assert sorted(map(tuple, ra.collect())) == sorted(map(tuple,
+                                                          rb.collect()))
