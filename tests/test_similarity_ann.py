@@ -57,3 +57,19 @@ def test_near_dup_lsh_subset_of_exact_pairs(spark):
     if exact:
         recall = len(approx) / len(exact)
         assert recall >= 0.3, f"near-dup LSH recall collapsed: {recall}"
+
+
+def test_connected_components_long_path_converges_log_rounds(spark):
+    """A 64-node path graph (diameter 63) must resolve to ONE cluster
+    in O(log diameter) rounds — the pointer-jump step halves the
+    longest chain each round, so 12 rounds is generous for a 63-hop
+    path, while plain min-label propagation would need 63."""
+    from adscraper_spark.pipelines.dedup import connected_components
+
+    n = 64
+    pairs = [(i, i + 1) for i in range(n - 1)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src long, dst long")
+    comp = connected_components(edges, max_rounds=12).collect()
+    assert len(comp) == n
+    assert {r["cluster"] for r in comp} == {0}
