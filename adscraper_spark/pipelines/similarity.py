@@ -20,8 +20,28 @@ from ..hashing import stable_hash64
 
 TOP_K = 3
 N_QUERIES = 5          # query set = vec_id < N_QUERIES
+LSH_BANDS = 4
+LSH_TARGET_BUCKET = 250   # aim for ~this many vectors per band bucket
+# Small-corpus signature width (what every driver-testdata sf resolves
+# to via lsh_params — the static oracle SQL is built with these):
 LSH_PLANES = 12
+BITS_PER_BAND = LSH_PLANES // LSH_BANDS
 NEAR_DUP_THRESHOLD = 0.3
+
+
+def lsh_params(n: int) -> tuple[int, int, int]:
+    """(planes, bands, bits_per_band) sized to corpus count ``n``:
+    each band key space (2^bits) should hold ~n/LSH_TARGET_BUCKET keys
+    so bucket size — and with it the candidate-join fan-out — stays
+    bounded as the corpus grows; at 10^9 vectors this yields 4 bands ×
+    22 bits. Floor of 3 bits keeps every driver-testdata scale factor
+    (n ≤ ~2000) on the original 12-plane signature, so the static
+    DuckDB oracles stay byte-stable. Hyperplane p is derived from p
+    alone (_hyperplanes), so a longer signature EXTENDS the short one —
+    growing n never rehashes the existing planes."""
+    bits = max(BITS_PER_BAND,
+               math.ceil(math.log2(max(1.0, n / LSH_TARGET_BUCKET))))
+    return LSH_BANDS * bits, LSH_BANDS, bits
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -102,27 +122,29 @@ FROM ranked WHERE rank <= {TOP_K} ORDER BY qid, rank
 """
 
 
-def _hyperplanes(dim: int) -> list[list[float]]:
+def _hyperplanes(dim: int, n_planes: int = LSH_PLANES) -> list[list[float]]:
     """Deterministic pseudo-random unit-free hyperplanes: component
-    (p, d) = md5-derived uniform in [-1, 1]. Regenerable anywhere."""
+    (p, d) = md5-derived uniform in [-1, 1]. Regenerable anywhere, and
+    a prefix-stable sequence: plane p is the same at any n_planes."""
     return [
         [stable_hash64(f"plane|{p}|{d}") / float(1 << 63) - 1.0
          for d in range(dim)]
-        for p in range(LSH_PLANES)
+        for p in range(n_planes)
     ]
 
 
-def _bucket_col(dim: int, emb_col="embedding"):
-    """Sign-LSH bucket signature: LSH_PLANES bits, '1' where the
+def _bucket_col(dim: int, emb_col="embedding",
+                n_planes: int = LSH_PLANES):
+    """Sign-LSH bucket signature: n_planes bits, '1' where the
     projection onto the md5-derived hyperplane is positive."""
-    planes = _hyperplanes(dim)
+    planes = _hyperplanes(dim, n_planes)
     planes_col = F.array(*[
         F.array(*[F.lit(v) for v in row]) for row in planes])
     return F.concat(*[
         F.when(_dot(F.col(emb_col),
                     F.element_at(planes_col, p + 1)) > 0,
                F.lit("1")).otherwise(F.lit("0"))
-        for p in range(LSH_PLANES)])
+        for p in range(n_planes)])
 
 
 def _embedding_dim(emb: DataFrame) -> int:
@@ -131,9 +153,12 @@ def _embedding_dim(emb: DataFrame) -> int:
 
 def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucket layout stats (the partitioning the ANN search
-    path joins on — see ann_lsh_search for the search itself)."""
+    path joins on — see ann_lsh_search for the search itself).
+    Signature width is corpus-sized (lsh_params over the row count —
+    a parquet-metadata count, no data scan)."""
     emb = _emb(spark, sf_dir)
-    sig = _bucket_col(_embedding_dim(emb))
+    n_planes, _, _ = lsh_params(emb.count())
+    sig = _bucket_col(_embedding_dim(emb), n_planes=n_planes)
     bucketed = emb.select("vec_id", "label", sig.alias("bucket"))
     return (bucketed.groupBy("bucket")
             .agg(F.count("*").alias("n_vecs"),
@@ -169,24 +194,23 @@ FROM b GROUP BY bucket ORDER BY bucket
 # LSH_PLANES/BITS_PER_BAND grow with log(n) to keep buckets bounded.
 # ---------------------------------------------------------------------------
 
-LSH_BANDS = 4
-BITS_PER_BAND = LSH_PLANES // LSH_BANDS
-# Band width is a corpus-size knob: 2^BITS_PER_BAND keys per band should
-# be ~n/bucket_target. 3 bits fits the small driver testdata (the
-# synthetic embeddings are near-uniform — max pair cosine ≈0.5, so
-# narrow bands are needed for any recall); a 10^9-vector corpus would
-# run 4 bands × 24-32 bits from a longer signature.
+# Band width is the corpus-size knob — see lsh_params(n) at the top:
+# 2^bits_per_band keys per band ≈ n/LSH_TARGET_BUCKET, so bucket sizes
+# (and the candidate join) stay bounded as n grows. 3 bits fits the
+# small driver testdata (the synthetic embeddings are near-uniform —
+# max pair cosine ≈0.5, so narrow bands are needed for any recall); a
+# 10^9-vector corpus runs 4 bands × 22 bits from a longer signature.
 
 
-def _band_rows(bucketed: DataFrame) -> DataFrame:
+def _band_rows(bucketed: DataFrame, bands: int = LSH_BANDS,
+               bits: int = BITS_PER_BAND) -> DataFrame:
     """(vec_id, band, bkey) — one row per band, key = the band's bit
     slice of the signature. No embedding payload rides the band join."""
     parts = [
         bucketed.select(
             "vec_id", F.lit(b).alias("band"),
-            F.substring("bucket", b * BITS_PER_BAND + 1,
-                        BITS_PER_BAND).alias("bkey"))
-        for b in range(LSH_BANDS)
+            F.substring("bucket", b * bits + 1, bits).alias("bkey"))
+        for b in range(bands)
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -208,8 +232,10 @@ def ann_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     the query, exact cosine only on those, two-phase top-k."""
     emb = _emb(spark, sf_dir)
     dim = _embedding_dim(emb)
-    bucketed = emb.select("vec_id", _bucket_col(dim).alias("bucket"))
-    bands = _band_rows(bucketed)
+    n_planes, n_bands, bits = lsh_params(emb.count())
+    bucketed = emb.select(
+        "vec_id", _bucket_col(dim, n_planes=n_planes).alias("bucket"))
+    bands = _band_rows(bucketed, n_bands, bits)
     qbands = (bands.filter(F.col("vec_id") < N_QUERIES)
               .select(F.col("vec_id").alias("qid"), "band", "bkey"))
     cand = (bands.join(F.broadcast(qbands), ["band", "bkey"])
@@ -272,8 +298,10 @@ def near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle the pytest recall check compares against."""
     emb = _emb(spark, sf_dir)
     dim = _embedding_dim(emb)
-    bucketed = emb.select("vec_id", _bucket_col(dim).alias("bucket"))
-    bands = _band_rows(bucketed)
+    n_planes, n_bands, bits = lsh_params(emb.count())
+    bucketed = emb.select(
+        "vec_id", _bucket_col(dim, n_planes=n_planes).alias("bucket"))
+    bands = _band_rows(bucketed, n_bands, bits)
     left = bands.select(F.col("vec_id").alias("a"), "band", "bkey")
     right = bands.select(F.col("vec_id").alias("b"), "band", "bkey")
     cand = (left.join(right, ["band", "bkey"])

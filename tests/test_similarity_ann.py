@@ -73,3 +73,79 @@ def test_connected_components_long_path_converges_log_rounds(spark):
     comp = connected_components(edges, max_rounds=12).collect()
     assert len(comp) == n
     assert {r["cluster"] for r in comp} == {0}
+
+
+def test_lsh_params_corpus_sizing():
+    from adscraper_spark.pipelines.similarity import lsh_params
+
+    # every driver-testdata scale factor resolves to the original
+    # 12-plane signature (oracle byte-stability)
+    assert lsh_params(500) == (12, 4, 3)
+    assert lsh_params(2000) == (12, 4, 3)
+    # growth is log2(n/target): 10^9 vectors -> 4 bands x 22 bits
+    assert lsh_params(10**9) == (88, 4, 22)
+    # monotone non-decreasing
+    prev = 0
+    for n in (10**3, 10**4, 10**5, 10**7, 10**9):
+        planes, bands, bits = lsh_params(n)
+        assert bands == 4 and planes == bands * bits
+        assert planes >= prev
+        prev = planes
+
+
+def test_lsh_banding_recall_and_bucket_bound_two_sizes(spark):
+    """Planted near-dup pairs must share >=1 band bucket (recall) at
+    BOTH a small and a larger corpus, while the max band-bucket size
+    stays bounded near LSH_TARGET_BUCKET — the property lsh_params
+    exists for: wider bands absorb corpus growth."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from adscraper_spark.pipelines.similarity import (
+        LSH_TARGET_BUCKET, _band_rows, _bucket_col, lsh_params,
+    )
+
+    dim = 16
+    n_planted = 150
+
+    def build(n, seed):
+        rng = np.random.RandomState(seed)
+        v = rng.randn(n, dim)
+        # vectors (2k, 2k+1) for k < n_planted are near-duplicates
+        for k in range(n_planted):
+            v[2 * k + 1] = v[2 * k] + 0.01 * rng.randn(dim)
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v[i]]) for i in range(n)],
+            "vec_id long, embedding array<float>")
+
+    results = {}
+    for n, seed in ((2000, 3), (16000, 4)):
+        emb = build(n, seed)
+        planes, bands, bits = lsh_params(n)
+        bucketed = emb.select(
+            "vec_id", _bucket_col(dim, n_planes=planes).alias("bucket"))
+        rows = _band_rows(bucketed, bands, bits).cache()
+        # recall: planted pair shares at least one (band, bkey)
+        planted = {(2 * k, 2 * k + 1) for k in range(n_planted)}
+        left = rows.filter(F.col("vec_id") % 2 == 0) \
+                   .select(F.col("vec_id").alias("a"), "band", "bkey")
+        right = rows.filter(F.col("vec_id") % 2 == 1) \
+                    .select(F.col("vec_id").alias("b"), "band", "bkey")
+        hits = (left.join(right, ["band", "bkey"])
+                .filter(F.col("b") == F.col("a") + 1)
+                .select("a", "b").distinct().collect())
+        found = {(r["a"], r["b"]) for r in hits} & planted
+        recall = len(found) / n_planted
+        max_bucket = (rows.groupBy("band", "bkey").count()
+                      .agg(F.max("count")).collect()[0][0])
+        rows.unpersist()
+        results[n] = (planes, recall, max_bucket)
+
+    assert results[2000][0] == 12 and results[16000][0] > 12
+    assert results[2000][1] >= 0.9, results
+    assert results[16000][1] >= 0.9, results
+    # bucket sizes bounded near the target at BOTH corpus sizes (uniform
+    # random vectors spread unevenly over sign-buckets; 8x headroom)
+    for n in (2000, 16000):
+        assert results[n][2] <= 8 * LSH_TARGET_BUCKET, results
