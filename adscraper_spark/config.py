@@ -49,6 +49,19 @@ class CrawlConfig:
     # wave until this many attempts (reference analog: k8s
     # backoffLimitPerIndex=20, indexed-job.yaml:10-14). 1 = no retry.
     max_retries: int = 1
+    # J4 in-crawl ad-landing admission (crawler/src/ads/click.ts:122-133
+    # + adscraper.sql:152): each fetched non-landing page admits the
+    # first anchor URL of up to max_ad_landings_per_page of its detected
+    # ads as 'landing' frontier rows carrying referrer ad_id; landings
+    # are exempt from same_host_only (ad targets live off-host) and are
+    # scraped but never expanded (the reference scrapes, doesn't crawl,
+    # landing pages).
+    admit_ad_landings: bool = False
+    max_ad_landings_per_page: int = 2
+    # page refresh-and-rescrape analog (crawler.ts:341-358): every
+    # fetched main page gets a second results row with reload=1
+    # (deterministic corpus → identical rescrape content).
+    refresh_mains: bool = False
     extra: dict = field(default_factory=dict)
 
     def __post_init__(self) -> None:
@@ -66,3 +79,5 @@ class CrawlConfig:
         if self.site_budget_seconds is not None \
                 and self.site_budget_seconds <= 0:
             raise ValueError("site_budget_seconds must be > 0")
+        if self.max_ad_landings_per_page < 0:
+            raise ValueError("max_ad_landings_per_page must be >= 0")

@@ -103,20 +103,40 @@ def _paragraphs(spec: CorpusSpec, h: int, j: int) -> str:
     return "\n".join(out)
 
 
+def _ad_anchor(spec: CorpusSpec, k: str, fallback: str) -> str:
+    """Ad anchor target: ~40% point at an off-site ad-network URL (the
+    fetch-miss landing path), ~60% at a REAL page on another host (the
+    landing-fetch path J4 exercises — ad targets are cross-host, which
+    is why landing admission is exempt from same_host_only)."""
+    if spec.n_hosts > 1 and stable_unit(k + "|land", spec.seed) < 0.6:
+        other = 1 + stable_hash64(k + "|lh", spec.seed) % (spec.n_hosts - 1)
+        count = spec.layout()[other][1]
+        for i in range(4):  # prefer a robots-crawlable landing target
+            oj = stable_hash64(f"{k}|lj|{i}", spec.seed) % count
+            u = spec.page_url(other, oj)
+            if "/private/" not in u:
+                return u
+    return fallback
+
+
 def _ad_block(spec: CorpusSpec, h: int, j: int, a: int) -> str:
     k = f"ad|{h}|{j}|{a}"
     kind = stable_hash64(k, spec.seed) % 6
     inner = _words(k + "|txt", spec.seed, 6)
     adhost = f"https://ads.partner-{stable_hash64(k, spec.seed) % 9}.test"
     if kind == 0:
-        return (f'<div id="AdBanner"><a href="{adhost}/c/{a}">{inner}</a>'
+        return (f'<div id="AdBanner">'
+                f'<a href="{_ad_anchor(spec, k, f"{adhost}/c/{a}")}">'
+                f"{inner}</a>"
                 f'<img src="{adhost}/i/{a}.png"></div>')
     if kind == 1:
         return (f'<div class="adsbygoogle"><script src="{adhost}/s.js">'
                 f'</script>{inner}</div>')
     if kind == 2:  # nested ads: top-most dedup case (ad-detection.ts:25-43)
         return (f'<div class="ad-container"><div class="ad-unit">'
-                f'<a href="{adhost}/c/{a}">{inner}</a></div></div>')
+                f'<a href="{_ad_anchor(spec, k, f"{adhost}/c/{a}")}">'
+                f"{inner}</a>"
+                f"</div></div>")
     if kind == 3:  # iframe ad (U5 tree)
         return (f'<div class="advert"><iframe src="{adhost}/f/{a}">'
                 f'<html><body><p>{inner}</p>'
@@ -125,12 +145,12 @@ def _ad_block(spec: CorpusSpec, h: int, j: int, a: int) -> str:
     if kind == 4:  # taboola-style chumbox (chumbox-handler.ts platforms)
         items = "".join(
             f'<div class="trc_spotlight_item syndicatedItem">'
-            f'<a href="{adhost}/t/{a}/{i}">{inner} {i}</a></div>'
+            f'<a href="{_ad_anchor(spec, k, f"{adhost}/t/{a}/{i}") if i == 0 else f"{adhost}/t/{a}/{i}"}">{inner} {i}</a></div>'
             for i in range(3))
         return f'<div class="trc_related_container">{items}</div>'
     # mgid-style chumbox
     items = "".join(
-        f'<div class="mgline"><a href="{adhost}/m/{a}/{i}">{inner} {i}</a>'
+        f'<div class="mgline"><a href="{_ad_anchor(spec, k, f"{adhost}/m/{a}/{i}") if i == 0 else f"{adhost}/m/{a}/{i}"}">{inner} {i}</a>'
         f"</div>" for i in range(2))
     return f'<div class="mgbox">{items}</div>'
 

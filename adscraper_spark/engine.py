@@ -41,7 +41,7 @@ from collections.abc import Iterator
 from concurrent.futures import ThreadPoolExecutor
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -76,6 +76,9 @@ def _norm_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         })
         out["host"] = [url_host(u) if u else None for u in out["url"]]
         out["path"] = [url_path(u) if u else "/" for u in out["url"]]
+        for extra in pdf.columns:  # e.g. cand_ad_id on the landing path
+            if extra not in out.columns:
+                out[extra] = pdf[extra]
         yield out
 
 
@@ -143,6 +146,13 @@ class CrawlEngine:
         self.ads = SnapshotTable(os.path.join(workdir, "ads"))
         self.requests = SnapshotTable(os.path.join(workdir, "requests"))
         self.iframes = SnapshotTable(os.path.join(workdir, "iframes"))
+        # job/crawl metadata dimension (adscraper.sql:3-27 job+crawl
+        # tables): one 'bootstrapped' event row at seed admission, one
+        # 'completed' row when the drain loop finishes undisturbed —
+        # the J1-shaped results⋈crawl join (README.md:305-307) runs
+        # against this
+        self.crawl_meta = SnapshotTable(os.path.join(workdir,
+                                                     "crawl_meta"))
         self.bloom = BloomStore(
             os.path.join(workdir, "bloom"), self.config.bloom_partitions,
             self.config.bloom_expected_per_partition)
@@ -158,6 +168,7 @@ class CrawlEngine:
             "admitted": self.admitted, "processed": self.processed,
             "results": self.results, "ads": self.ads,
             "requests": self.requests, "iframes": self.iframes,
+            "crawl_meta": self.crawl_meta,
         }
 
     # ------------------------------------------------------------------
@@ -283,8 +294,24 @@ class CrawlEngine:
         self.admitted.append(df)
         self._update_bloom_distributed(df, 0)
         df.unpersist()
+        self._append_crawl_event("bootstrapped", wave=0, n_seeds=n)
         self._commit_wave(0, {"seeds": n})
         return n
+
+    def _append_crawl_event(self, event: str, wave: int,
+                            n_seeds: int = 0) -> None:
+        import datetime as _dt
+        import json as _json
+        from dataclasses import asdict
+
+        cfg = asdict(self.config)
+        row = (self.config.name, event, wave, n_seeds,
+               _json.dumps(cfg, sort_keys=True, default=str),
+               _dt.datetime.now(_dt.timezone.utc))
+        self.crawl_meta.append(self.spark.createDataFrame(
+            [row], "crawl_name string, event string, wave int, "
+                   "n_seeds long, config_json string, "
+                   "event_ts timestamp"))
 
     def admit_seeds(self, seeds) -> int:
         """Incrementally admit a seed batch into a live crawl (streaming
@@ -548,11 +575,28 @@ class CrawlEngine:
                 "url", "text", "n_ads", "readerable", "readability_score",
                 "rss_urls", "health_related"), "url")
             .withColumn("wave", F.lit(wave))
+            # page-type lineage (adscraper.sql:58): landing = reached
+            # via an ad click (referrer ad_id set); main = crawl-list
+            # depth 0; everything else is a subpage
+            .withColumn("page_type",
+                        F.when(F.col("ad_id").isNotNull(), "landing")
+                        .when(F.col("depth") == 0, "main")
+                        .otherwise("subpage"))
+            .withColumn("reload", F.lit(0))
         )
+        if cfg.refresh_mains:
+            # refresh-and-rescrape analog (crawler.ts:341-358,
+            # adscraper.sql:63): every main page gets a second results
+            # row with reload=1 — the corpus is deterministic, so the
+            # rescrape content is identical by construction
+            results_df = results_df.unionByName(
+                results_df.filter(F.col("page_type") == "main")
+                .withColumn("reload", F.lit(1)))
         ads_df = (
             extracted.select("url", F.posexplode("ads").alias("ad_index",
                                                               "ad"))
-            .select("url", "ad_index", "ad.html", "ad.selector",
+            .select("url", "ad_index", "ad.ad_id", "ad.html",
+                    "ad.selector",
                     "ad.platform", "ad.chumbox_parts", "ad.anchor_hrefs",
                     "ad.iframe_srcs", "ad.script_srcs", "ad.img_srcs")
             .withColumn("wave", F.lit(wave))
@@ -621,29 +665,71 @@ class CrawlEngine:
         # ---- frontier expansion: U7 links → admission pipeline ----------
         admissions_df = None
         if wave + 1 <= cfg.max_waves and cfg.max_depth > 0:
-            cand = (
+            # expansion sources: fetched pages below the depth horizon
+            # that are NOT landing pages (the reference scrapes ad
+            # landing pages but never crawls onward from them)
+            exp_src = (
                 extracted
-                .join(planned.select("url", "host", "depth"), "url")
-                .filter(F.col("depth") < cfg.max_depth)
-                .select(F.col("url").alias("src_url"),
-                        F.col("host").alias("src_host"),
-                        F.col("depth"),
-                        F.explode("links").alias("link"))
+                .join(planned.select("url", "host", "depth", "ad_id")
+                      .withColumnRenamed("ad_id", "src_ad_id"), "url")
+                .filter((F.col("depth") < cfg.max_depth)
+                        & F.col("src_ad_id").isNull())
             )
             norm_schema = ("src_url string, src_host string, depth int, "
                            "link string, url string, host string, "
                            "path string")
+            cand = exp_src.select(
+                F.col("url").alias("src_url"),
+                F.col("host").alias("src_host"),
+                F.col("depth"),
+                F.explode("links").alias("link"))
             cand = cand.mapInPandas(_norm_batches, schema=norm_schema)
             cand = cand.filter(F.col("url").isNotNull())
             if cfg.same_host_only:  # F4
                 cand = cand.filter(F.col("host") == F.col("src_host"))
-            # in-wave dedup with deterministic lineage: min (depth, src)
+            # links: kind 0, no referrer ad (sentinel -1 keeps the
+            # dedup struct null-free)
+            cand = (cand.withColumn("kind", F.lit(0))
+                    .withColumn("cand_ad_id", F.lit(-1).cast("long")))
+            if cfg.admit_ad_landings and cfg.max_ad_landings_per_page:
+                # J4: first anchor of the first K ads-with-anchors per
+                # page, in ad_index order (the per-page click cap,
+                # click.ts:122-133); cross-host by design → exempt from
+                # the same-host filter (adscraper.sql:152)
+                w_page = Window.partitionBy("src_url").orderBy("ad_index")
+                landing = (
+                    exp_src.select(
+                        F.col("url").alias("src_url"),
+                        F.col("host").alias("src_host"),
+                        F.col("depth"),
+                        F.posexplode("ads").alias("ad_index", "ad"))
+                    .filter(F.size("ad.anchor_hrefs") > 0)
+                    .withColumn("rn", F.row_number().over(w_page))
+                    .filter(F.col("rn")
+                            <= cfg.max_ad_landings_per_page)
+                    .select("src_url", "src_host", "depth",
+                            F.element_at("ad.anchor_hrefs", 1)
+                            .alias("link"),
+                            F.col("ad.ad_id").alias("cand_ad_id")))
+                landing = (landing
+                           .mapInPandas(_norm_batches,
+                                        schema=norm_schema
+                                        + ", cand_ad_id long")
+                           .filter(F.col("url").isNotNull())
+                           .withColumn("kind", F.lit(1)))
+                cand = cand.unionByName(landing)
+            # in-wave dedup with deterministic lineage: min (depth,
+            # kind, src, ad) — links beat landings at equal depth; the
+            # simulator takes the same tuple min
             cand = (
                 cand.groupBy("url", "host", "path")
-                .agg(F.min(F.struct("depth", "src_url")).alias("m"))
+                .agg(F.min(F.struct("depth", "kind", "src_url",
+                                    "cand_ad_id")).alias("m"))
                 .select("url", "host", "path",
                         F.col("m.depth").alias("src_depth"),
-                        F.col("m.src_url").alias("src_url"))
+                        F.col("m.kind").alias("kind"),
+                        F.col("m.src_url").alias("src_url"),
+                        F.col("m.cand_ad_id").alias("cand_ad_id"))
             )
             cand = self._bloom_prefilter(cand, wave)
             fresh = cand.filter(~F.col("maybe_seen")).drop("maybe_seen")
@@ -667,8 +753,12 @@ class CrawlEngine:
                                 + stable_hash64("seq|" + u)
                                 % (1 << 31) for u in pdf["url"]],
                         "src_url": pdf["src_url"],
-                        "ad_id": pd.Series([None] * len(pdf),
-                                           dtype="object"),
+                        # kind 1 = ad landing → carry the referrer ad id
+                        "ad_id": pd.array(
+                            [int(a) if k == 1 else None
+                             for k, a in zip(pdf["kind"],
+                                             pdf["cand_ad_id"])],
+                            dtype="Int64"),
                         "state_initial": [
                             "disallowed" if b else "pending"
                             for b in blocked],
@@ -762,12 +852,14 @@ class CrawlEngine:
             raise RuntimeError("bootstrap() before run()")
         horizon = max_waves if max_waves is not None else self.config.max_waves
         out = []
+        drained = False
         wave = last + 1
         while wave <= horizon:
             if stop_requested is not None and stop_requested():
                 break
             stats = self.run_wave(wave)
             if stats.get("planned", 0) == 0:
+                drained = True
                 break
             out.append({"wave": wave, **stats})
             # Frontier-log maintenance (Iceberg rewrite_data_files
@@ -786,6 +878,16 @@ class CrawlEngine:
                         # append — compaction is maintenance, skip it
                         pass
             wave += 1
+        interrupted = stop_requested is not None and stop_requested()
+        if not interrupted:
+            # crawl completed (frontier drained or horizon reached) —
+            # the adscraper.sql crawl.completed/completed_time analog.
+            # The row is appended AFTER the last wave manifest, so a
+            # resume rolls it back and re-appends on its own clean
+            # finish (no duplicate completion events).
+            self._append_crawl_event(
+                "completed" if drained else "horizon",
+                wave=self.last_committed_wave())
         return out
 
     # ------------------------------------------------------------------

@@ -15,9 +15,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
+from ..hashing import ad_id_for
 from .core import extract_page
 
 AD_STRUCT = T.StructType([
+    # deterministic ad id (hashing.ad_id_for) — the adscraper.sql ad
+    # serial analog; landing admissions carry it as referrer_ad (J4)
+    T.StructField("ad_id", T.LongType()),
     T.StructField("html", T.StringType()),
     T.StructField("selector", T.StringType()),
     T.StructField("platform", T.StringType()),
@@ -62,12 +66,13 @@ def _extract_row(url: str, html) -> dict:
         "links": res.links,
         "ads": [
             {
+                "ad_id": ad_id_for(url, i),
                 "html": a.html, "selector": a.selector, "platform": a.platform,
                 "chumbox_parts": a.chumbox_parts,
                 "anchor_hrefs": a.anchor_hrefs, "iframe_srcs": a.iframe_srcs,
                 "script_srcs": a.script_srcs, "img_srcs": a.img_srcs,
             }
-            for a in res.ads
+            for i, a in enumerate(res.ads)
         ],
         "iframes": [
             {

@@ -33,6 +33,15 @@ def stable_unit(value: str, seed: int = 0) -> float:
     return stable_hash64(value, seed) / float(1 << 64)
 
 
+def ad_id_for(page_url: str, ad_index: int) -> int:
+    """Deterministic ad id (the adscraper.sql ad-table serial analog):
+    derived from (page, ad_index) so the engine's ads table and a
+    landing page's referrer_ad lineage (J4, adscraper.sql:152) agree
+    without any driver-side id assignment. Kept positive and below
+    2^62 so it survives every long column."""
+    return stable_hash64(f"ad_id|{page_url}|{ad_index}") % (1 << 62)
+
+
 def stable_pick(items: list, seed: int, round_no: int) -> int:
     """Deterministic index pick — replaces the reference's
     ``getRandomInt(0, links.length)`` (find-page.ts:140-144)."""

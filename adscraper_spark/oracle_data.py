@@ -30,11 +30,14 @@ from .corpus import (
     parse_feed_first, write_corpus_parquet,
 )
 from .extraction.core import extract_page
+from .hashing import ad_id_for
 from .simulator import simulate_crawl
 from .urlnorm import url_host
 
 ORACLE_N_PAGES = 200
-ORACLE_N_HOSTS = 10
+ORACLE_N_HOSTS = 16  # enough hosts that some are reached ONLY via ad
+                     # landings (J4 coverage: cross-host ad targets
+                     # must not all collide with link-admitted URLs)
 ORACLE_SEED = 42
 N_SEEDS = 10
 N_FIND_SOURCES = 15
@@ -42,7 +45,7 @@ FIND_SEED = 42
 
 ROOT = os.path.join(
     tempfile.gettempdir(),
-    f"adscraper_spark_oracle_v3_{ORACLE_N_PAGES}_{ORACLE_N_HOSTS}"
+    f"adscraper_spark_oracle_v4_{ORACLE_N_PAGES}_{ORACLE_N_HOSTS}"
     f"_{ORACLE_SEED}")
 
 
@@ -53,9 +56,13 @@ def oracle_spec() -> CorpusSpec:
 
 def engine_config() -> CrawlConfig:
     """The e2e crawl parameters shared by the Spark engine run and the
-    sequential simulator trace."""
-    return CrawlConfig(wave_seconds=10, default_budget=3, max_waves=4,
-                       max_depth=2)
+    sequential simulator trace. Ad-landing admission (J4) and the
+    main-page refresh analog are ON so the e2e oracle covers the
+    page_type/reload/referrer-ad lineage surface."""
+    return CrawlConfig(name="oracle-e2e", wave_seconds=10,
+                       default_budget=3, max_waves=5, max_depth=2,
+                       admit_ad_landings=True, max_ad_landings_per_page=2,
+                       refresh_mains=True)
 
 
 def find_sources() -> list[str]:
@@ -75,6 +82,7 @@ def artifact_paths() -> dict[str, str]:
         "trace": os.path.join(ROOT, "oracle_trace.parquet"),
         "rss": os.path.join(ROOT, "oracle_rss.parquet"),
         "feeds": os.path.join(ROOT, "oracle_feeds.parquet"),
+        "crawl_meta": os.path.join(ROOT, "oracle_crawl_meta.parquet"),
     }
 
 
@@ -130,6 +138,7 @@ def _build(out_dir: str) -> None:
             rss_rows.append({"src_url": url, "pos": pos, "rss_url": ru})
         for idx, ad in enumerate(e.ads):
             ad_rows.append({"url": url, "ad_index": idx,
+                            "ad_id": ad_id_for(url, idx),
                             "selector": ad.selector,
                             "platform": ad.platform})
             for attr, rtype in (("anchor_hrefs", "anchor"),
@@ -153,6 +162,7 @@ def _build(out_dir: str) -> None:
     ])), os.path.join(out_dir, "oracle_links.parquet"))
     pq.write_table(pa.Table.from_pylist(ad_rows, schema=pa.schema([
         ("url", pa.string()), ("ad_index", pa.int64()),
+        ("ad_id", pa.int64()),
         ("selector", pa.string()), ("platform", pa.string()),
     ])), os.path.join(out_dir, "oracle_ads.parquet"))
     pq.write_table(pa.Table.from_pylist(ad_url_rows, schema=pa.schema([
@@ -179,21 +189,41 @@ def _build(out_dir: str) -> None:
     robots = [(spec.host_name(h), gen_robots_txt(spec, h))
               for h in range(spec.n_hosts)
               if gen_robots_txt(spec, h) is not None]
-    sim = simulate_crawl(pages_map, seeds, robots, engine_config())
+    cfg = engine_config()
+    sim = simulate_crawl(pages_map, seeds, robots, cfg)
     trace_rows = []
     for url, wave in sim.order:
         if pages_map.get(url) is None:
             continue  # fetch errors never reach the results table
         e = url_ex[url]
-        trace_rows.append({
+        ad_id = sim.ad_ids.get(url)
+        page_type = ("landing" if ad_id is not None
+                     else "main" if sim.depths[url] == 0 else "subpage")
+        row = {
             "url": url, "wave": wave, "host": sim.hosts[url],
             "depth": sim.depths[url], "text": e.text,
             "n_ads": len(e.ads), "readerable": e.readerable,
             "lang": url_lang[url],
-        })
+            "page_type": page_type, "reload": 0, "ad_id": ad_id,
+        }
+        trace_rows.append(row)
+        if cfg.refresh_mains and page_type == "main":
+            trace_rows.append({**row, "reload": 1})
     pq.write_table(pa.Table.from_pylist(trace_rows, schema=pa.schema([
         ("url", pa.string()), ("wave", pa.int64()), ("host", pa.string()),
         ("depth", pa.int64()), ("text", pa.string()),
         ("n_ads", pa.int64()), ("readerable", pa.bool_()),
         ("lang", pa.string()),
+        ("page_type", pa.string()), ("reload", pa.int64()),
+        ("ad_id", pa.int64()),
     ])), os.path.join(out_dir, "oracle_trace.parquet"))
+    # crawl_meta oracle: the completion event the engine's drain loop
+    # must record for the same seeds/config (J1-shaped dim join)
+    pq.write_table(pa.Table.from_pylist([{
+        "crawl_name": cfg.name,
+        "final_event": "completed" if sim.drained else "horizon",
+        "n_result_rows": len(trace_rows),
+    }], schema=pa.schema([
+        ("crawl_name", pa.string()), ("final_event", pa.string()),
+        ("n_result_rows", pa.int64()),
+    ])), os.path.join(out_dir, "oracle_crawl_meta.parquet"))

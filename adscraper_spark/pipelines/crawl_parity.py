@@ -29,14 +29,20 @@ from ..oracle_data import (
 _P = artifact_paths()
 
 
-def crawl_engine_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end crawl over the deterministic synthetic corpus: seeds →
-    politeness-scheduled waves → fetch-join → extraction UDFs → frontier
-    admission → results table. Oracle = the sequential simulator's
-    fetched-page trace (crawler.ts:295-442 loop semantics)."""
+_E2E_CACHE: dict = {}
+
+
+def _e2e_engine(spark: SparkSession):
+    """The e2e engine run, shared by every engine-backed parity query
+    in this process (crawl_engine_e2e, page_type_reload, J4 lineage,
+    crawl_meta) — one crawl, four oracle views, instead of re-crawling
+    per query."""
     from ..corpus import gen_seeds
     from ..engine import CrawlEngine
 
+    eng = _E2E_CACHE.get(id(spark))
+    if eng is not None:
+        return eng
     p = ensure_oracle_artifacts()
     work = tempfile.mkdtemp(prefix="adscraper_spark_e2e_")
     eng = CrawlEngine(spark, p["pages"], p["robots"], work,
@@ -45,20 +51,107 @@ def crawl_engine_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
                    for i, u in enumerate(gen_seeds(oracle_spec(),
                                                    N_SEEDS))])
     eng.run()
-    res = eng.results.read(spark)
+    _E2E_CACHE[id(spark)] = eng
+    return eng
+
+
+def crawl_engine_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end crawl over the deterministic synthetic corpus: seeds →
+    politeness-scheduled waves → fetch-join → extraction UDFs → frontier
+    admission (links + J4 ad landings) → results table with
+    page_type/reload/referrer-ad lineage. Oracle = the sequential
+    simulator's fetched-page trace (crawler.ts:295-442 loop semantics;
+    page_type adscraper.sql:58, reload adscraper.sql:63). ad_id is
+    compared as a string: 62-bit ids don't survive a float64 round-trip
+    in the pandas compare."""
+    res = _e2e_engine(spark).results.read(spark)
     return (res.select(
         "url", F.col("wave").cast("long").alias("wave"), "host",
         F.col("depth").cast("long").alias("depth"), "text",
-        F.col("n_ads").cast("long").alias("n_ads"), "readerable", "lang")
-        .orderBy("wave", "url"))
+        F.col("n_ads").cast("long").alias("n_ads"), "readerable", "lang",
+        "page_type", F.col("reload").cast("long").alias("reload"),
+        F.col("ad_id").cast("string").alias("ad_id"))
+        .orderBy("wave", "url", "reload"))
 
 
 CRAWL_ENGINE_E2E_SQL = f"""
 SELECT url, CAST(wave AS BIGINT) AS wave, host,
        CAST(depth AS BIGINT) AS depth, text,
-       CAST(n_ads AS BIGINT) AS n_ads, readerable, lang
+       CAST(n_ads AS BIGINT) AS n_ads, readerable, lang,
+       page_type, CAST(reload AS BIGINT) AS reload,
+       CAST(ad_id AS VARCHAR) AS ad_id
 FROM read_parquet('{_P["trace"]}')
-ORDER BY wave, url
+ORDER BY wave, url, reload
+"""
+
+
+def page_type_reload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-type/reload lineage rollup over the e2e run — main pages
+    appear twice (reload 0/1, the refresh-and-rescrape analog), landing
+    pages carry referrer ads (J4)."""
+    res = _e2e_engine(spark).results.read(spark)
+    return (res.groupBy("page_type",
+                        F.col("reload").cast("long").alias("reload"))
+            .agg(F.count("*").alias("n_rows"),
+                 F.countDistinct("url").alias("n_urls"),
+                 F.min("url").alias("first_url"))
+            .orderBy("page_type", "reload"))
+
+
+PAGE_TYPE_RELOAD_SQL = f"""
+SELECT page_type, CAST(reload AS BIGINT) AS reload,
+       count(*) AS n_rows, count(DISTINCT url) AS n_urls,
+       min(url) AS first_url
+FROM read_parquet('{_P["trace"]}')
+GROUP BY 1, 2 ORDER BY page_type, reload
+"""
+
+
+def j4_landing_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: landing pages joined back to their referrer ad
+    (adscraper.sql:152 page.referrer_ad → ad.id) through the engine's
+    own ads table — the in-crawl click lineage."""
+    eng = _e2e_engine(spark)
+    res = eng.results.read(spark)
+    ads = eng.ads.read(spark)
+    landings = (res.filter(F.col("page_type") == "landing")
+                .select(F.col("url").alias("landing_url"), "ad_id"))
+    return (landings.join(
+        ads.select("ad_id", F.col("url").alias("ad_page_url"),
+                   F.col("ad_index").cast("long").alias("ad_index")),
+        "ad_id")
+        .select("landing_url",
+                F.col("ad_id").cast("string").alias("ad_id"),
+                "ad_page_url", "ad_index")
+        .orderBy("landing_url"))
+
+
+J4_LANDING_LINEAGE_SQL = f"""
+SELECT t.url AS landing_url, CAST(t.ad_id AS VARCHAR) AS ad_id,
+       a.url AS ad_page_url, a.ad_index
+FROM read_parquet('{_P["trace"]}') t
+JOIN read_parquet('{_P["ads"]}') a ON a.ad_id = t.ad_id
+WHERE t.page_type = 'landing' AND t.reload = 0
+ORDER BY landing_url
+"""
+
+
+def crawl_meta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1-shaped metadata-dimension join (adscraper.sql:3-27 job/crawl
+    tables, README.md:305-307): the engine's own crawl_meta completion
+    event joined with its results row count."""
+    eng = _e2e_engine(spark)
+    meta = eng.crawl_meta.read(spark)
+    final = (meta.filter(F.col("event").isin("completed", "horizon"))
+             .select("crawl_name", F.col("event").alias("final_event")))
+    counts = eng.results.read(spark).agg(
+        F.count("*").alias("n_result_rows"))
+    return final.crossJoin(counts)
+
+
+CRAWL_META_JOIN_SQL = f"""
+SELECT crawl_name, final_event, n_result_rows
+FROM read_parquet('{_P["crawl_meta"]}')
 """
 
 
@@ -279,6 +372,9 @@ GROUP BY 1 ORDER BY n DESC, ad_domain
 
 QUERIES = {
     "crawl_engine_e2e": crawl_engine_e2e,
+    "page_type_reload": page_type_reload,
+    "j4_landing_lineage": j4_landing_lineage,
+    "crawl_meta_join": crawl_meta_join,
     "extraction_udf_demo": extraction_udf_demo,
     "find_articles_demo": find_articles_demo,
     "rss_first_article": rss_first_article_q,
@@ -288,6 +384,9 @@ QUERIES = {
 }
 ORACLES = {
     "crawl_engine_e2e": CRAWL_ENGINE_E2E_SQL,
+    "page_type_reload": PAGE_TYPE_RELOAD_SQL,
+    "j4_landing_lineage": J4_LANDING_LINEAGE_SQL,
+    "crawl_meta_join": CRAWL_META_JOIN_SQL,
     "extraction_udf_demo": EXTRACTION_UDF_DEMO_SQL,
     "find_articles_demo": _find_articles_sql(),
     "rss_first_article": _rss_first_article_sql(),

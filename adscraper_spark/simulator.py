@@ -15,7 +15,7 @@ from dataclasses import dataclass, field
 from .config import CrawlConfig
 from .engine import DISCOVERED_SEQ_BASE
 from .extraction.core import extract_page
-from .hashing import stable_hash64
+from .hashing import ad_id_for, stable_hash64
 from .robots import disallowed_checker, host_budgets
 from .urlnorm import normalize_url, url_host, url_path
 
@@ -28,6 +28,11 @@ class SimResult:
     admitted_from: dict[str, str | None] = field(default_factory=dict)
     depths: dict[str, int] = field(default_factory=dict)
     hosts: dict[str, str | None] = field(default_factory=dict)
+    # J4 lineage: url -> referrer ad id for landing pages, None otherwise
+    ad_ids: dict[str, int | None] = field(default_factory=dict)
+    # True iff the frontier emptied before the wave horizon (the
+    # engine's run() 'completed' vs 'horizon' crawl_meta event)
+    drained: bool = False
 
 
 def simulate_crawl(pages: dict[str, bytes],
@@ -42,10 +47,10 @@ def simulate_crawl(pages: dict[str, bytes],
     frontier: dict[str, dict] = {}
     admitted_from: dict[str, str | None] = {}
 
-    def admit(url, host, path, depth, seq, state, src):
+    def admit(url, host, path, depth, seq, state, src, ad_id=None):
         frontier[url] = {"host": host, "path": path, "depth": depth,
                          "priority": float(depth), "seq": seq,
-                         "state": state, "attempts": 0}
+                         "state": state, "attempts": 0, "ad_id": ad_id}
         admitted_from[url] = src
 
     # ---- bootstrap: seed-list order, first occurrence wins --------------
@@ -62,11 +67,13 @@ def simulate_crawl(pages: dict[str, bytes],
         admit(norm, host, path, 0, int(seq), state, None)
 
     order: list[tuple[str, int]] = []
+    drained = False
     wave = 1
     while wave <= config.max_waves:
         pending = [(u, e) for u, e in frontier.items()
                    if e["state"] == "pending"]
         if not pending:
+            drained = True
             break
         # per-host priority queue under budgets (W1/W2)
         by_host: dict[str, list] = {}
@@ -86,6 +93,7 @@ def simulate_crawl(pages: dict[str, bytes],
                     > config.site_budget_seconds)
                 planned.append((u, e, timed_out))
         if not planned:
+            drained = True
             break
         # global fetch order = (wave, host, priority, seq) — the
         # parallelism-invariant total order (SURVEY §7.3)
@@ -112,7 +120,13 @@ def simulate_crawl(pages: dict[str, bytes],
             order.append((url, wave))
             if e["depth"] >= config.max_depth or wave + 1 > config.max_waves:
                 continue
+            if e["ad_id"] is not None:
+                continue  # landing pages are scraped, never expanded
             res = extract_page(url, html)
+            # candidate key = (depth, kind, src, ad_sentinel): first
+            # occurrence by depth, links (kind 0) beat ad landings
+            # (kind 1) at equal depth — the same min-struct the engine's
+            # in-wave dedup takes
             for link in res.links:
                 norm = normalize_url(link)
                 if norm is None:
@@ -120,18 +134,37 @@ def simulate_crawl(pages: dict[str, bytes],
                 host = url_host(norm)
                 if config.same_host_only and host != e["host"]:
                     continue
-                key = (e["depth"], url)
+                key = (e["depth"], 0, url, -1)
                 if norm not in candidates or key < candidates[norm]:
                     candidates[norm] = key
                     cand_meta[norm] = (host, url_path(norm))
-        for norm, (src_depth, src) in candidates.items():
+            if config.admit_ad_landings:
+                # first anchor of up to max_ad_landings_per_page ads
+                # with an anchor, in ad_index order — the per-page
+                # click cap (click.ts:122-133); cross-host allowed
+                n_taken = 0
+                for ad_index, ad in enumerate(res.ads):
+                    if n_taken >= config.max_ad_landings_per_page:
+                        break
+                    if not ad.anchor_hrefs:
+                        continue
+                    n_taken += 1
+                    norm = normalize_url(ad.anchor_hrefs[0])
+                    if norm is None:
+                        continue
+                    key = (e["depth"], 1, url, ad_id_for(url, ad_index))
+                    if norm not in candidates or key < candidates[norm]:
+                        candidates[norm] = key
+                        cand_meta[norm] = (url_host(norm), url_path(norm))
+        for norm, (src_depth, kind, src, ad_sent) in candidates.items():
             if norm in frontier:
                 continue
             host, path = cand_meta[norm]
             state = ("disallowed" if check_disallowed(host, path)
                      else "pending")
             seq = DISCOVERED_SEQ_BASE + stable_hash64("seq|" + norm) % (1 << 31)
-            admit(norm, host, path, src_depth + 1, seq, state, src)
+            admit(norm, host, path, src_depth + 1, seq, state, src,
+                  ad_id=ad_sent if kind == 1 else None)
         wave += 1
 
     return SimResult(
@@ -141,4 +174,6 @@ def simulate_crawl(pages: dict[str, bytes],
         admitted_from=admitted_from,
         depths={u: e["depth"] for u, e in frontier.items()},
         hosts={u: e["host"] for u, e in frontier.items()},
+        ad_ids={u: e["ad_id"] for u, e in frontier.items()},
+        drained=drained,
     )

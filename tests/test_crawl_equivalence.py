@@ -119,3 +119,53 @@ def test_error_seed_recorded(finished_engine, spark, sim_result):
               proc.filter(F.col("state_final") == "error").collect()}
     sim_errors = {u for u, s in sim_result.states.items() if s == "error"}
     assert errors == sim_errors and len(errors) >= 1
+
+
+def test_landing_admission_matches_simulator(spark, corpus, corpus_spec,
+                                             robots_rows, seeds, tmp_path):
+    """J4 in-crawl ad-landing admission: engine == simulator on order,
+    seen-set, AND referrer-ad lineage with admit_ad_landings on."""
+    from adscraper_spark.config import CrawlConfig
+    from adscraper_spark.corpus import feed_rows, pages_rows
+    from adscraper_spark.engine import CrawlEngine
+    from adscraper_spark.simulator import simulate_crawl
+
+    cfg = CrawlConfig(wave_seconds=10, default_budget=3, max_waves=6,
+                      max_depth=2, admit_ad_landings=True,
+                      max_ad_landings_per_page=2)
+    pages_map = {r["url"]: r["html"] for r in pages_rows(corpus_spec)}
+    pages_map.update({r["url"]: r["html"] for r in feed_rows(corpus_spec)})
+    sim = simulate_crawl(pages_map, seeds, robots_rows, cfg)
+    eng = CrawlEngine(spark, corpus["pages"], corpus["robots"],
+                      str(tmp_path / "w"), cfg)
+    eng.bootstrap(seeds)
+    eng.run()
+    assert eng.crawl_order() == sim.order
+    assert eng.seen_set() == sim.seen
+    eng_lineage = {r["url"]: r["ad_id"] for r in
+                   eng.admitted.read(spark).select("url", "ad_id")
+                   .collect() if r["ad_id"] is not None}
+    sim_lineage = {u: a for u, a in sim.ad_ids.items() if a is not None}
+    assert eng_lineage == sim_lineage
+    assert sim_lineage  # non-vacuous: the corpus must admit landings
+
+
+def test_landing_pages_never_expanded(spark, corpus, corpus_spec,
+                                      robots_rows, seeds, tmp_path):
+    """The reference scrapes ad landing pages but never crawls onward
+    from them: no admitted row may have a landing page as src_url."""
+    from adscraper_spark.config import CrawlConfig
+    from adscraper_spark.engine import CrawlEngine
+
+    cfg = CrawlConfig(wave_seconds=10, default_budget=3, max_waves=6,
+                      max_depth=2, admit_ad_landings=True,
+                      max_ad_landings_per_page=2)
+    eng = CrawlEngine(spark, corpus["pages"], corpus["robots"],
+                      str(tmp_path / "w"), cfg)
+    eng.bootstrap(seeds)
+    eng.run()
+    adm = eng.admitted.read(spark)
+    landing_urls = adm.filter(F.col("ad_id").isNotNull()).select(
+        F.col("url").alias("src_url"))
+    expanded_from_landing = adm.join(landing_urls, "src_url").count()
+    assert expanded_from_landing == 0
