@@ -45,6 +45,14 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="fold frontier logs to the bucketed layout "
                         "every K waves (Iceberg rewrite_data_files "
                         "analog)")
+    c.add_argument("--admit-ad-landings", action="store_true",
+                   help="J4: admit detected ads' anchor URLs as "
+                        "landing frontier rows carrying referrer_ad "
+                        "(click.ts:122-133)")
+    c.add_argument("--max-ad-landings-per-page", type=int, default=2)
+    c.add_argument("--refresh-mains", action="store_true",
+                   help="second results row (reload=1) per main page "
+                        "(crawler.ts:341-358 refresh-and-rescrape)")
     c.add_argument("--cpus", type=int, default=None)
     g = sub.add_parser("gen-corpus", help="write a synthetic corpus")
     g.add_argument("--out", required=True)
@@ -52,6 +60,15 @@ def _build_parser() -> argparse.ArgumentParser:
     g.add_argument("--hosts", type=int, default=20)
     g.add_argument("--seed", type=int, default=42)
     g.add_argument("--content-scale", type=int, default=1)
+    b = sub.add_parser(
+        "bucketize",
+        help="rewrite a pages corpus into the url-bucketed layout so "
+             "per-wave fetch scans prune to the wave's buckets")
+    b.add_argument("--pages", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--buckets", type=int, required=True,
+                   help="size so a bucket holds a few hundred MB at "
+                        "the target corpus scale")
     z = sub.add_parser(
         "package",
         help="zip the package for spark-submit --py-files deploys")
@@ -102,6 +119,15 @@ def main(argv: list[str] | None = None) -> int:
         spark.stop()
         return 0
 
+    if args.cmd == "bucketize":
+        from .corpus_layout import bucketize_corpus
+
+        spark = build_session(cpus=32)
+        out = bucketize_corpus(spark, args.pages, args.out, args.buckets)
+        print(json.dumps({"bucketed": out, "buckets": args.buckets}))
+        spark.stop()
+        return 0
+
     # crawl
     from .config import CrawlConfig
     from .engine import CrawlEngine
@@ -116,7 +142,10 @@ def main(argv: list[str] | None = None) -> int:
                       max_retries=args.max_retries,
                       salt_fanout=args.salt_fanout,
                       site_budget_seconds=args.site_budget_seconds,
-                      compact_every=args.compact_every)
+                      compact_every=args.compact_every,
+                      admit_ad_landings=args.admit_ad_landings,
+                      max_ad_landings_per_page=args.max_ad_landings_per_page,
+                      refresh_mains=args.refresh_mains)
     eng = CrawlEngine(spark, args.pages, args.robots, args.workdir, cfg)
     resuming = eng.last_committed_wave() >= 0
     if not resuming:
