@@ -69,11 +69,20 @@ def corpus_layout(path: str) -> dict | None:
         return None
 
 
+def prune_buckets(pages: DataFrame, bucket_ids) -> DataFrame:
+    """Restrict a bucketed-corpus DataFrame to the given bucket ids.
+    The IN-filter on the partition column prunes at the file index —
+    unselected bucket dirs are never opened (asserted by
+    tests/test_plan_shape.py). Callers should reuse ONE DataFrame for
+    the whole crawl (engine caches it): the file listing happens at
+    relation creation, so re-reading the path per wave would re-list
+    every bucket dir per wave."""
+    ids = sorted(int(b) for b in bucket_ids)
+    return pages.filter(F.col(BUCKET_COL).isin(ids))
+
+
 def read_pruned(spark: SparkSession, path: str, layout: dict,
                 bucket_ids) -> DataFrame:
-    """Corpus scan restricted to the given bucket ids. The IN-filter on
-    the partition column prunes at the file index — unselected bucket
-    dirs are never opened (asserted by tests/test_plan_shape.py)."""
-    df = spark.read.parquet(path)
-    ids = sorted(int(b) for b in bucket_ids)
-    return df.filter(F.col(BUCKET_COL).isin(ids))
+    """One-shot convenience: read + prune (tests; the engine prunes its
+    cached relation via prune_buckets instead)."""
+    return prune_buckets(spark.read.parquet(path), bucket_ids)

@@ -47,7 +47,7 @@ from pyspark.sql import types as T
 
 from .bloom import BloomStore, partition_for_host
 from .config import CrawlConfig
-from .corpus_layout import bucket_id_col, corpus_layout, read_pruned
+from .corpus_layout import bucket_id_col, corpus_layout, prune_buckets
 from .extraction.udfs import extract_pages
 from .hashing import stable_hash64
 from .scheduler import plan_wave
@@ -131,8 +131,12 @@ class CrawlEngine:
         self.pages_path = pages_path
         # Bucketed-corpus layout marker (corpus_layout.bucketize_corpus):
         # when present, each wave's fetch scan is pruned to the wave's
-        # url-bucket set instead of scanning the whole corpus.
+        # url-bucket set instead of scanning the whole corpus. The
+        # relation is created ONCE per engine — the file listing of a
+        # many-bucket corpus must not repeat every wave (under real
+        # Iceberg the manifests make this a metadata lookup).
         self.pages_layout = corpus_layout(pages_path)
+        self._pages_df: DataFrame | None = None
         self.workdir = workdir
         os.makedirs(workdir, exist_ok=True)
         buckets = self.config.frontier_buckets
@@ -531,11 +535,11 @@ class CrawlEngine:
         # Corpus scan for this wave: pruned to the wave's bucket dirs
         # when the corpus is bucketed (scan ∝ wave spread, not corpus
         # size — the property that holds at a 10^10-URL frontier).
+        if self._pages_df is None:
+            self._pages_df = spark.read.parquet(self.pages_path)
+        pages = self._pages_df
         if self.pages_layout is not None:
-            pages = read_pruned(spark, self.pages_path, self.pages_layout,
-                                prow["wave_buckets"])
-        else:
-            pages = spark.read.parquet(self.pages_path)
+            pages = prune_buckets(pages, prow["wave_buckets"])
         pages = pages.select("url", "html", "warc_ts", "lang")
 
         # ---- Z2 site time budget (crawler.ts:80-97 Promise.race): each

@@ -22,6 +22,14 @@ def build_session(app: str = "adscraper_spark", cpus: int | None = None,
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # A bucketed pages corpus is thousands of hive partition dirs;
+        # the default threshold (32) pushes their discovery into a
+        # distributed listing job whose fixed latency dwarfs the
+        # driver-side stat() loop on any local/posix store. Real
+        # clusters with object-store corpora use Iceberg manifests and
+        # never list at all (store.py module docstring).
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+                "100000")
     )
     # Under spark-submit the JVM gateway already exists and carries the
     # --master / --driver-memory the operator chose (cluster deploys:
