@@ -388,7 +388,70 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# --- gap-based sessionization over the events stream (the classic
+#     training-pipeline / clickstream rollup: lag → flag → running sum
+#     → per-session agg; one shuffle on user_id, both windows share the
+#     same (user_id, ts) partitioning so Spark plans a single sort) ----
+
+SESSION_GAP_SECONDS = 1800
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session rollup: a session breaks when the gap from the
+    previous event exceeds SESSION_GAP_SECONDS. Gap compare is in
+    microseconds on both sides (a whole-second diff would truncate
+    differently in Spark vs DuckDB)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ in the testdata parquet; the cast (session TZ
+    # is pinned UTC) only feeds the DIFFERENCE, so it cancels
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    gap_us = us(F.col("ts")) - us(F.lag("ts").over(w))
+    is_new = F.when(
+        gap_us.isNull()
+        | (gap_us > SESSION_GAP_SECONDS * 1_000_000), 1).otherwise(0)
+    numbered = ev.select(
+        "user_id", "event_id", "ts", "value",
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_no"))
+    return (numbered.groupBy("user_id", "session_no")
+            .agg(F.count("*").alias("n_events"),
+                 F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end"),
+                 F.round(F.sum("value"), 2).alias("total_value"))
+            .orderBy("user_id", "session_no"))
+
+
+SESSIONIZE_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+s AS (
+  SELECT *, CASE WHEN prev_ts IS NULL
+                   OR date_diff('microsecond', prev_ts, ts)
+                      > {SESSION_GAP_SECONDS} * 1000000
+            THEN 1 ELSE 0 END AS is_new
+  FROM e
+),
+n AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM s
+)
+SELECT user_id, session_no, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       round(sum(value), 2) AS total_value
+FROM n GROUP BY 1, 2 ORDER BY user_id, session_no
+"""
+
+
 QUERIES = {
+    "sessionize": sessionize,
     "t1_word_set_union": t1_word_set_union,
     "a5_array_max": a5_array_max,
     "q1_pricing_summary": q1_pricing_summary,
@@ -404,6 +467,7 @@ QUERIES = {
     "a3_order_progress": a3_order_progress,
 }
 ORACLES = {
+    "sessionize": SESSIONIZE_SQL,
     "t1_word_set_union": T1_SQL,
     "a5_array_max": A5_SQL,
     "q1_pricing_summary": Q1_SQL,

@@ -343,6 +343,121 @@ ORDER BY c.a, c.b
 """
 
 
+# ---------------------------------------------------------------------------
+# IVF-style ANN: coarse quantizer (argmax-cosine assignment to K
+# deterministic centroids) → probe the query's top-P cells → exact
+# cosine only within probed cells. The second scale path next to LSH:
+# candidates ∝ n·P/K instead of n·queries. At 10^9 vectors K grows to
+# ~sqrt(n) (kmeans-trained centroids in a real system; here the
+# centroids are deterministic data vectors so the DuckDB oracle is
+# exact).
+# ---------------------------------------------------------------------------
+
+IVF_K = 16       # coarse cells (≈sqrt(n) at corpus scale; fixed for
+                 # the driver testdata so the oracle SQL is static)
+IVF_PROBES = 3   # cells probed per query
+
+
+def _ivf_assignments(emb: DataFrame) -> DataFrame:
+    """(vec_id, cid): argmax-cosine cell per vector. Plan shape: the
+    K-row centroid dim broadcasts into a nested-loop score, then ONE
+    groupBy with a map-side partial max(struct(cos, -cid)) — never a
+    per-vector window (that would shuffle n·K rows into n tiny window
+    partitions)."""
+    cent = (emb.filter(F.col("vec_id") < IVF_K)
+            .select(F.col("vec_id").alias("cid"),
+                    F.col("embedding").alias("cv")))
+    cos = (_dot(F.col("embedding"), F.col("cv"))
+           / (_norm(F.col("embedding")) * _norm(F.col("cv"))))
+    scored = (emb.crossJoin(F.broadcast(cent))
+              .select("vec_id", "cid", cos.alias("cos")))
+    return (scored.groupBy("vec_id")
+            .agg(F.max(F.struct(F.col("cos"),
+                                (-F.col("cid")).alias("mc"))).alias("m"))
+            .select("vec_id", (-F.col("m.mc")).cast("long").alias("cid")))
+
+
+def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k through the IVF cells: per query, exact cosine
+    only against vectors assigned to its IVF_PROBES nearest cells."""
+    emb = _emb(spark, sf_dir)
+    assign = _ivf_assignments(emb)
+    cent = (emb.filter(F.col("vec_id") < IVF_K)
+            .select(F.col("vec_id").alias("cid"),
+                    F.col("embedding").alias("cv")))
+    qv = (emb.filter(F.col("vec_id") < N_QUERIES)
+          .select(F.col("vec_id").alias("qid"),
+                  F.col("embedding").alias("qv")))
+    qcos = (_dot(F.col("qv"), F.col("cv"))
+            / (_norm(F.col("qv")) * _norm(F.col("cv"))))
+    w_probe = Window.partitionBy("qid").orderBy(F.desc("qcos"),
+                                                F.asc("cid"))
+    probes = (qv.crossJoin(F.broadcast(cent))
+              .select("qid", "cid", qcos.alias("qcos"))
+              .withColumn("rn", F.row_number().over(w_probe))
+              .filter(F.col("rn") <= IVF_PROBES)
+              .select("qid", "cid"))
+    cand = (assign.join(F.broadcast(probes), "cid")
+            .filter(F.col("vec_id") != F.col("qid"))
+            .select("qid", "vec_id"))
+    cos = (_dot(F.col("embedding"), F.col("qv"))
+           / (_norm(F.col("embedding")) * _norm(F.col("qv"))))
+    scored = (cand.join(emb, "vec_id").join(F.broadcast(qv), "qid")
+              .select("qid", "vec_id", cos.alias("cos")))
+    return (_two_phase_topk(scored, TOP_K)
+            .select("qid", "rank", "vec_id",
+                    F.round("cos", 4).alias("cos"))
+            .orderBy("qid", "rank"))
+
+
+ANN_IVF_SEARCH_SQL = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+  WHERE vec_id < {IVF_K}
+),
+scored AS (
+  SELECT e.vec_id, c.cid,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                CAST(c.cv AS DOUBLE[])) AS cos
+  FROM embeddings e, cent c
+),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, cid ASC) AS rn
+    FROM scored) WHERE rn = 1
+),
+probes AS (
+  SELECT qid, cid FROM (
+    SELECT vec_id AS qid, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, cid ASC) AS rn
+    FROM scored WHERE vec_id < {N_QUERIES}) WHERE rn <= {IVF_PROBES}
+),
+cand AS (
+  SELECT p.qid, a.vec_id FROM probes p JOIN assign a USING (cid)
+  WHERE a.vec_id <> p.qid
+),
+scored2 AS (
+  SELECT c.qid, c.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                CAST(q.embedding AS DOUBLE[])) AS cos
+  FROM cand c
+  JOIN embeddings e ON e.vec_id = c.vec_id
+  JOIN embeddings q ON q.vec_id = c.qid
+),
+ranked AS (
+  SELECT qid, vec_id, cos,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored2
+)
+SELECT qid, rank, vec_id, round(cos, 4) AS cos
+FROM ranked WHERE rank <= {TOP_K} ORDER BY qid, rank
+"""
+
+
 def near_dup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs on a bounded subset
     (all-pairs verification tier; the LSH buckets bound candidates at
@@ -378,6 +493,7 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_buckets": ann_lsh_buckets,
     "ann_lsh_search": ann_lsh_search,
+    "ann_ivf_search": ann_ivf_search,
     "near_dup_embeddings": near_dup_embeddings,
     "near_dup_lsh": near_dup_lsh,
 }
@@ -385,6 +501,7 @@ ORACLES = {
     "ann_cosine_topk": ANN_COSINE_TOPK_SQL,
     "ann_lsh_buckets": make_lsh_sql(EMBEDDING_DIM),
     "ann_lsh_search": make_lsh_search_sql(EMBEDDING_DIM),
+    "ann_ivf_search": ANN_IVF_SEARCH_SQL,
     "near_dup_embeddings": NEAR_DUP_EMBEDDINGS_SQL,
     "near_dup_lsh": make_near_dup_lsh_sql(EMBEDDING_DIM),
 }

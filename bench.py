@@ -28,7 +28,9 @@ HEADLINE = [
     "j5_unseen_anti_join", "z1_hourly_event_counts",
     "dedup_exact", "dedup_minhash_lsh", "simhash", "doc_fingerprint",
     "token_count", "lang_id", "quality_score",
-    "ann_cosine_topk", "ann_lsh_buckets", "near_dup_embeddings",
+    "ann_cosine_topk", "ann_lsh_buckets", "ann_lsh_search",
+    "ann_ivf_search", "near_dup_embeddings", "near_dup_lsh",
+    "sessionize",
     "multimodal_ingest", "media_features", "frame_sample",
     "dedup_clusters", "train_test_split", "stratified_sample",
     "x10_stack_trace_urls", "t4_url_set_merge",

@@ -227,3 +227,30 @@ def test_engine_on_bucketed_corpus_matches_plain(spark, tmp_path,
     rb = b.results.read(spark).select("url", "wave", "text")
     assert sorted(map(tuple, ra.collect())) == sorted(map(tuple,
                                                           rb.collect()))
+
+
+def test_sessionize_single_hash_shuffle(spark):
+    """Both windows and the rollup share the (user_id) partitioning —
+    Catalyst must plan ONE hash exchange, not three."""
+    from adscraper_spark.pipelines import relational
+
+    df = relational.sessionize(spark, SF)
+    df.collect()
+    # AQE's toString prints the final plan followed by the initial
+    # plan — count exchanges in the final section only
+    plan = _plan(df).split("Initial Plan")[0]
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "EvalPython" not in plan
+
+
+def test_ann_ivf_centroids_broadcast(spark):
+    """IVF assignment: the K-row centroid dim must broadcast, and the
+    argmax must be an aggregate (map-side partial), not a per-vector
+    window."""
+    from adscraper_spark.pipelines import similarity
+
+    df = similarity._ivf_assignments(
+        similarity._emb(spark, SF))
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "partial_max" in plan or "HashAggregate" in plan, plan
