@@ -476,9 +476,14 @@ def _write_bench_md(r: dict) -> None:
         f"{r['fetch_prune']['big_unpruned']['wave_sec']} |",
         "",
         f"10× the corpus costs {r['fetch_prune']['wave_time_ratio_10x_corpus']}× "
-        "the wave time when bucketed (scan ∝ wave's bucket set); "
-        f"pruning is {r['fetch_prune']['prune_speedup_on_10x']}× faster "
-        "than the full-corpus scan at 10×.",
+        "the wave time when bucketed — the scan is ∝ the wave's bucket "
+        "set, which is the property that carries to a 10^10-URL corpus "
+        "(an unpruned wave there scans the full corpus every wave). At "
+        "this sandbox size (3.6 GB, warm page cache) the unpruned scan "
+        "is cheap enough that the pruned-vs-unpruned contrast "
+        f"({r['fetch_prune']['prune_speedup_on_10x']}×) sits inside "
+        "run noise; flatness is the evidence, the contrast grows with "
+        "corpus bytes.",
         "",
         "## SelectorIndex at EasyList scale",
         "",
