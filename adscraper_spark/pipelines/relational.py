@@ -450,8 +450,64 @@ FROM n GROUP BY 1, 2 ORDER BY user_id, session_no
 """
 
 
+# --- W2 politeness gate as a relational decision log: per (host,
+#     tumbling window) only the first `budget` requests are allowed.
+#     The STREAMING twin (streaming.politeness_gate_stream) computes
+#     the identical decisions with applyInPandasWithState; pytest
+#     asserts stream == batch == this oracle. -------------------------
+
+GATE_BUDGET = 8
+GATE_WAVE_SECONDS = 604_800  # 1-week windows: the testdata
+                            # events are sparse; weekly windows give a
+                            # mixed allowed/deferred profile
+
+
+def w2_politeness_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host tumbling-window admission decisions over the events
+    stream viewed as a fetch-request log (host derived from user_id).
+    Pure JVM window — ONE shuffle on host."""
+    ev = _t(spark, sf_dir, "events")
+    req = ev.select(
+        F.concat(F.lit("host-"), (F.col("user_id") % 10).cast("string"))
+        .alias("host"),
+        "event_id", "ts",
+        (F.floor(F.unix_micros(F.col("ts").cast("timestamp"))
+                 / (GATE_WAVE_SECONDS * 1_000_000))).alias("win"))
+    w = Window.partitionBy("host", "win").orderBy("ts", "event_id")
+    return (req.withColumn("rn", F.row_number().over(w))
+            .withColumn("allowed", F.col("rn") <= GATE_BUDGET)
+            .groupBy("host", "win")
+            .agg(F.count("*").alias("n_requests"),
+                 F.sum(F.col("allowed").cast("long")).alias("n_allowed"),
+                 F.min(F.when(~F.col("allowed"), F.col("event_id")))
+                 .alias("first_deferred_event"))
+            .orderBy("host", "win"))
+
+
+W2_GATE_SQL = f"""
+WITH req AS (
+  SELECT 'host-' || CAST(user_id % 10 AS VARCHAR) AS host,
+         event_id, ts,
+         CAST(floor(epoch_us(ts) / (CAST({GATE_WAVE_SECONDS} AS BIGINT) * 1000000))
+              AS BIGINT) AS win
+  FROM events
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY host, win
+                               ORDER BY ts, event_id) AS rn
+  FROM req
+)
+SELECT host, win, count(*) AS n_requests,
+       sum(CASE WHEN rn <= {GATE_BUDGET} THEN 1 ELSE 0 END) AS n_allowed,
+       min(CASE WHEN rn > {GATE_BUDGET} THEN event_id END)
+         AS first_deferred_event
+FROM r GROUP BY host, win ORDER BY host, win
+"""
+
+
 QUERIES = {
     "sessionize": sessionize,
+    "w2_politeness_gate": w2_politeness_gate,
     "t1_word_set_union": t1_word_set_union,
     "a5_array_max": a5_array_max,
     "q1_pricing_summary": q1_pricing_summary,
@@ -468,6 +524,7 @@ QUERIES = {
 }
 ORACLES = {
     "sessionize": SESSIONIZE_SQL,
+    "w2_politeness_gate": W2_GATE_SQL,
     "t1_word_set_union": T1_SQL,
     "a5_array_max": A5_SQL,
     "q1_pricing_summary": Q1_SQL,

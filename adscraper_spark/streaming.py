@@ -66,6 +66,53 @@ def host_fetch_rates(fetch_log: DataFrame, window: str = "1 minute",
                     "host", "fetches"))
 
 
+GATE_OUTPUT_SCHEMA = ("host string, event_id long, win long, "
+                      "allowed boolean")
+GATE_STATE_SCHEMA = "win long, used long"
+
+
+def politeness_gate_stream(requests: DataFrame, budget: int,
+                           wave_seconds: int) -> DataFrame:
+    """W2 politeness as a CUSTOM STATEFUL streaming operator
+    (``applyInPandasWithState``): per host, allow only the first
+    ``budget`` requests of each ``wave_seconds`` tumbling window; the
+    (window, used-count) state carries across micro-batches, so a host
+    that exhausted its window in batch N stays blocked in batch N+1 —
+    the reference's per-host crawl-delay pacing (SURVEY §2.5 W2,
+    crawler.ts sequential per-site loop) running continuously instead
+    of per wave.
+
+    ``requests`` is a STREAMING DataFrame (host string, event_id long,
+    ts timestamp). Decisions are deterministic given time-ordered
+    arrival (events sorted by (ts, event_id) within each batch; the
+    file source preserves file order across batches) and equal the
+    batch w2_politeness_gate / DuckDB row_number oracle — asserted in
+    tests/test_streaming.py."""
+    import pandas as pd
+
+    def gate(key, pdfs, state) -> "pd.DataFrame":
+        (host,) = key
+        win, used = state.get if state.exists else (-1, 0)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ev, ts in zip(pdf["event_id"], pdf["ts"]):
+                w = int(ts.value // (wave_seconds * 1_000_000_000))
+                if w > win:
+                    win, used = w, 0
+                allowed = used < budget
+                if allowed:
+                    used += 1
+                out.append((host, int(ev), w, allowed))
+        state.update((win, used))
+        yield pd.DataFrame(out, columns=["host", "event_id", "win",
+                                         "allowed"])
+
+    return requests.groupBy("host").applyInPandasWithState(
+        gate, GATE_OUTPUT_SCHEMA, GATE_STATE_SCHEMA, "append",
+        "NoTimeout")
+
+
 def run_available_now(query_df: DataFrame, checkpoint_dir: str,
                       sink_table: str, output_mode: str = "complete"
                       ) -> None:
