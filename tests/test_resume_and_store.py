@@ -170,3 +170,38 @@ def test_bloom_concurrent_segment_updates_merge(tmp_path):
         list(pool.map(lambda us: store.update_segment(0, 3, us), batches))
     seg = store.load_segment(0, 3)
     assert all(seg.might_contain(u) for us in batches for u in us)
+
+
+def test_resume_with_landings_and_refresh(spark, small_setup,
+                                          tmp_path_factory):
+    """Crash/resume must be exact with ad-landing admission and
+    refresh rows on: landing lineage, page_type/reload rows, and the
+    crawl_meta completion event all reconstruct identically."""
+    spec, paths, _cfg, seeds = small_setup
+    cfg = CrawlConfig(wave_seconds=10, default_budget=3, max_waves=4,
+                      max_depth=2, admit_ad_landings=True,
+                      max_ad_landings_per_page=2, refresh_mains=True)
+    wa = str(tmp_path_factory.mktemp("la"))
+    wb = str(tmp_path_factory.mktemp("lb"))
+
+    a = CrawlEngine(spark, paths["pages"], paths["robots"], wa, cfg)
+    a.bootstrap(seeds)
+    a.run()
+
+    b = CrawlEngine(spark, paths["pages"], paths["robots"], wb, cfg)
+    b.bootstrap(seeds)
+    b.run(max_waves=2)  # "crash" after wave 2
+    b2 = CrawlEngine(spark, paths["pages"], paths["robots"], wb, cfg)
+    b2.run()
+
+    assert a.crawl_order() == b2.crawl_order()
+    assert a.seen_set() == b2.seen_set()
+    cols = ["url", "wave", "page_type", "reload", "ad_id"]
+    ra = sorted(map(tuple, a.results.read(spark).select(*cols).collect()))
+    rb = sorted(map(tuple, b2.results.read(spark).select(*cols).collect()))
+    assert ra == rb
+    assert any(r[2] == "landing" for r in ra)   # non-vacuous landings
+    assert any(r[3] == 1 for r in ra)           # non-vacuous reloads
+    ev_a = sorted(r["event"] for r in a.crawl_meta.read(spark).collect())
+    ev_b = sorted(r["event"] for r in b2.crawl_meta.read(spark).collect())
+    assert ev_a == ev_b and len(ev_a) == 2
