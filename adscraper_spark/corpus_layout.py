@@ -48,8 +48,16 @@ def bucketize_corpus(spark: SparkSession, src_path: str, out_path: str,
     partition dir per url bucket, ONE file per bucket (repartition by
     the bucket id first — otherwise every write task emits a sliver
     into every bucket dir and the layout degrades into tasks×buckets
-    tiny files). Pick num_buckets so a bucket holds a few hundred MB at
-    the target corpus size."""
+    tiny files).
+
+    Sizing: pick num_buckets so a bucket holds a few hundred MB at the
+    target corpus size. Bucket count trades prune granularity (a wave
+    of W urls scans ≤W buckets) against full-scan overhead (a
+    frontier-sized wave that touches every bucket pays per-file open
+    cost — measured ~25% slower at a toy 1.5 MB/bucket layout, ~zero
+    at production bucket sizes where file count matches the unbucketed
+    layout). The engine additionally skips the prune filter entirely
+    when a wave touches >60% of buckets."""
     df = spark.read.parquet(src_path)
     (df.withColumn(BUCKET_COL, bucket_id_col(num_buckets))
        .repartition(num_buckets, F.col(BUCKET_COL))

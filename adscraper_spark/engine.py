@@ -539,7 +539,14 @@ class CrawlEngine:
             self._pages_df = spark.read.parquet(self.pages_path)
         pages = self._pages_df
         if self.pages_layout is not None:
-            pages = prune_buckets(pages, prow["wave_buckets"])
+            wave_buckets = prow["wave_buckets"]
+            # Prune only when it prunes: a frontier-sized wave touches
+            # nearly every bucket, and an IN-filter over thousands of
+            # ids that keeps >60% of the files costs planning time for
+            # no scan reduction — fall through to the plain scan there.
+            if (len(wave_buckets)
+                    <= 0.6 * self.pages_layout["num_buckets"]):
+                pages = prune_buckets(pages, wave_buckets)
         pages = pages.select("url", "html", "warc_ts", "lang")
 
         # ---- Z2 site time budget (crawler.ts:80-97 Promise.race): each
