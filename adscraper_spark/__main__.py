@@ -37,6 +37,10 @@ def _build_parser() -> argparse.ArgumentParser:
     c.add_argument("--wave-seconds", type=float, default=10.0)
     c.add_argument("--default-budget", type=int, default=4)
     c.add_argument("--max-retries", type=int, default=1)
+    c.add_argument("--max-urls", type=int, default=None,
+                   help="frontier cap: stop admitting new URLs once "
+                        "this many rows are admitted (pending URLs "
+                        "still drain)")
     c.add_argument("--salt-fanout", type=int, default=16)
     c.add_argument("--site-budget-seconds", type=float, default=None,
                    help="Z2 per-site virtual time budget per wave "
@@ -140,6 +144,7 @@ def main(argv: list[str] | None = None) -> int:
                       wave_seconds=args.wave_seconds,
                       default_budget=args.default_budget,
                       max_retries=args.max_retries,
+                      max_urls=args.max_urls,
                       salt_fanout=args.salt_fanout,
                       site_budget_seconds=args.site_budget_seconds,
                       compact_every=args.compact_every,

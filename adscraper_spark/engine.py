@@ -234,6 +234,20 @@ class CrawlEngine:
             json.dump(manifest, f)
         os.rename(tmp, self._manifest_path(wave))
 
+    def _admitted_total(self) -> int:
+        """Frontier size (every row ever admitted, incl. invalid seeds)
+        summed from the wave-manifest stats — metadata only."""
+        total = 0
+        for w in range(self.last_committed_wave() + 1):
+            try:
+                with open(self._manifest_path(w)) as f:
+                    s = json.load(f).get("stats", {})
+            except FileNotFoundError:
+                continue
+            total += (s.get("seeds", 0) + s.get("admitted", 0)
+                      + s.get("late_seeds", 0))
+        return total
+
     def _rollback_to_last_commit(self) -> int:
         wave = self.last_committed_wave()
         if wave < 0:
@@ -674,8 +688,17 @@ class CrawlEngine:
             processed_df = processed_df.unionByName(timeouts_df)
 
         # ---- frontier expansion: U7 links → admission pipeline ----------
+        # max_urls frontier cap: once the admitted log holds >= N rows
+        # (counted from manifest stats — no table scan), later waves
+        # fetch what is pending but admit nothing new. Checked at wave
+        # granularity (a wave's own admissions may overshoot the cap);
+        # the simulator applies the identical pre-wave check.
+        admission_open = True
+        if cfg.max_urls is not None:
+            admission_open = self._admitted_total() < cfg.max_urls
         admissions_df = None
-        if wave + 1 <= cfg.max_waves and cfg.max_depth > 0:
+        if (admission_open and wave + 1 <= cfg.max_waves
+                and cfg.max_depth > 0):
             # expansion sources: fetched pages below the depth horizon
             # that are NOT landing pages (the reference scrapes ad
             # landing pages but never crawls onward from them)

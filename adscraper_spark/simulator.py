@@ -99,6 +99,10 @@ def simulate_crawl(pages: dict[str, bytes],
         # parallelism-invariant total order (SURVEY §7.3)
         planned.sort(key=lambda t: (t[1]["host"], t[1]["priority"],
                                     t[1]["seq"]))
+        # max_urls frontier cap — same pre-wave check as the engine
+        # (frontier size counts every admitted row incl. invalid seeds)
+        admission_open = (config.max_urls is None
+                          or len(frontier) < config.max_urls)
         candidates: dict[str, tuple[int, str]] = {}  # url -> (depth, src)
         cand_meta: dict[str, tuple[str, str]] = {}   # url -> (host, path)
         for url, e, timed_out in planned:
@@ -118,7 +122,8 @@ def simulate_crawl(pages: dict[str, bytes],
                 continue
             e["state"] = "fetched"
             order.append((url, wave))
-            if e["depth"] >= config.max_depth or wave + 1 > config.max_waves:
+            if (not admission_open or e["depth"] >= config.max_depth
+                    or wave + 1 > config.max_waves):
                 continue
             if e["ad_id"] is not None:
                 continue  # landing pages are scraped, never expanded

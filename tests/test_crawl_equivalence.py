@@ -169,3 +169,33 @@ def test_landing_pages_never_expanded(spark, corpus, corpus_spec,
         F.col("url").alias("src_url"))
     expanded_from_landing = adm.join(landing_urls, "src_url").count()
     assert expanded_from_landing == 0
+
+
+def test_max_urls_frontier_cap_matches_simulator(spark, corpus,
+                                                 corpus_spec, robots_rows,
+                                                 seeds, tmp_path):
+    """max_urls: once the frontier holds >= N rows, later waves fetch
+    pending URLs but admit nothing new — engine == simulator, and the
+    cap actually binds (frontier smaller than the uncapped crawl)."""
+    from adscraper_spark.config import CrawlConfig
+    from adscraper_spark.corpus import feed_rows, pages_rows
+    from adscraper_spark.engine import CrawlEngine
+    from adscraper_spark.simulator import simulate_crawl
+
+    pages_map = {r["url"]: r["html"] for r in pages_rows(corpus_spec)}
+    pages_map.update({r["url"]: r["html"] for r in feed_rows(corpus_spec)})
+    base = dict(wave_seconds=10, default_budget=3, max_waves=8,
+                max_depth=2)
+    uncapped = simulate_crawl(pages_map, seeds, robots_rows,
+                              CrawlConfig(**base))
+    cap = len(seeds) + 5
+    cfg = CrawlConfig(**base, max_urls=cap)
+    sim = simulate_crawl(pages_map, seeds, robots_rows, cfg)
+    assert len(sim.seen) < len(uncapped.seen)  # the cap binds
+
+    eng = CrawlEngine(spark, corpus["pages"], corpus["robots"],
+                      str(tmp_path / "w"), cfg)
+    eng.bootstrap(seeds)
+    eng.run()
+    assert eng.crawl_order() == sim.order
+    assert eng.seen_set() == sim.seen
