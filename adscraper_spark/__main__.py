@@ -37,6 +37,9 @@ def _build_parser() -> argparse.ArgumentParser:
     c.add_argument("--wave-seconds", type=float, default=10.0)
     c.add_argument("--default-budget", type=int, default=4)
     c.add_argument("--max-retries", type=int, default=1)
+    c.add_argument("--checkpoint-every", type=int, default=1,
+                   help="durable wave-manifest cadence: K>1 trades "
+                        "bounded crash-replay for fewer commits")
     c.add_argument("--max-urls", type=int, default=None,
                    help="frontier cap: stop admitting new URLs once "
                         "this many rows are admitted (pending URLs "
@@ -145,6 +148,7 @@ def main(argv: list[str] | None = None) -> int:
                       default_budget=args.default_budget,
                       max_retries=args.max_retries,
                       max_urls=args.max_urls,
+                      checkpoint_every=args.checkpoint_every,
                       salt_fanout=args.salt_fanout,
                       site_budget_seconds=args.site_budget_seconds,
                       compact_every=args.compact_every,

@@ -76,6 +76,8 @@ class CrawlConfig:
             raise ValueError("bad fan-out")
         if self.max_retries < 1:
             raise ValueError("max_retries must be >= 1")
+        if self.checkpoint_every < 1:
+            raise ValueError("checkpoint_every must be >= 1")
         if self.site_budget_seconds is not None \
                 and self.site_budget_seconds <= 0:
             raise ValueError("site_budget_seconds must be > 0")

@@ -168,6 +168,9 @@ class CrawlEngine:
         if robots_path and os.path.exists(robots_path):
             self.robots_df = spark.read.parquet(robots_path)
         self.budgets_df = self._build_budgets_df()
+        # stats of waves run since the last durable manifest
+        # (checkpoint_every > 1 leaves a window of uncommitted waves)
+        self._window_stats: list[tuple[int, dict]] = []
         self._tables = {
             "admitted": self.admitted, "processed": self.processed,
             "results": self.results, "ads": self.ads,
@@ -223,32 +226,54 @@ class CrawlEngine:
         return wave
 
     def _commit_wave(self, wave: int, stats: dict) -> None:
+        """Durable checkpoint. With checkpoint_every > 1 some waves run
+        WITHOUT a manifest (cheaper durability at scale); their stats
+        ride in this manifest's ``window`` so metrics/frontier counts
+        survive, and a crash inside the window replays those waves
+        deterministically from the previous manifest (rollback discards
+        their unpinned table appends first)."""
+        window = {str(w): s for w, s in self._window_stats}
+        window[str(wave)] = stats
         manifest = {
             "wave": wave,
             "snapshots": {k: t.current_snapshot_id()
                           for k, t in self._tables.items()},
             "stats": stats,
+            "window": window,
         }
         tmp = self._manifest_path(wave) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         os.rename(tmp, self._manifest_path(wave))
+        self._window_stats = []
 
-    def _admitted_total(self) -> int:
-        """Frontier size (every row ever admitted, incl. invalid seeds)
-        summed from the wave-manifest stats — metadata only."""
-        total = 0
+    @staticmethod
+    def _stats_frontier_rows(s: dict) -> int:
+        return (s.get("seeds", 0) + s.get("admitted", 0)
+                + s.get("late_seeds", 0))
+
+    def _wave_stats_iter(self):
+        """(wave, stats) for every wave, committed (manifest windows)
+        and uncommitted (in-memory) — metadata only, no table scan."""
         for w in range(self.last_committed_wave() + 1):
             try:
                 with open(self._manifest_path(w)) as f:
-                    s = json.load(f).get("stats", {})
+                    m = json.load(f)
             except FileNotFoundError:
-                continue
-            total += (s.get("seeds", 0) + s.get("admitted", 0)
-                      + s.get("late_seeds", 0))
-        return total
+                continue  # wave covered by a later manifest's window
+            window = m.get("window") or {str(m["wave"]): m.get("stats", {})}
+            for ws, s in sorted(window.items(), key=lambda kv: int(kv[0])):
+                yield int(ws), s
+        yield from self._window_stats
+
+    def _admitted_total(self) -> int:
+        """Frontier size (every row ever admitted, incl. invalid seeds)
+        summed from the wave stats."""
+        return sum(self._stats_frontier_rows(s)
+                   for _w, s in self._wave_stats_iter())
 
     def _rollback_to_last_commit(self) -> int:
+        self._window_stats = []
         wave = self.last_committed_wave()
         if wave < 0:
             for t in self._tables.values():
@@ -395,6 +420,14 @@ class CrawlEngine:
     def _append_admissions(self, df: DataFrame, wave: int) -> int:
         """Shared admit tail: anti-join the admitted log, robots gate,
         snapshot append + distributed bloom update + manifest fold."""
+        if self._window_stats:
+            # Folding into the last manifest would pin the uncommitted
+            # window's table appends (rollback would replay them as
+            # duplicates). Streamed intake therefore requires
+            # checkpoint_every=1 (the default) when run concurrently.
+            raise RuntimeError(
+                "admit_seeds with an open checkpoint window — streamed "
+                "intake requires checkpoint_every=1 or a completed run()")
         existing = self.admitted.read(self.spark)
         if existing is not None:
             df = df.join(existing.select("url"), "url", "left_anti")
@@ -421,6 +454,7 @@ class CrawlEngine:
         stats = manifest.get("stats", {})
         stats["late_seeds"] = stats.get("late_seeds", 0) + n_new
         manifest["stats"] = stats
+        manifest.setdefault("window", {})[str(manifest["wave"])] = stats
         tmp = self._manifest_path(last) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
@@ -506,7 +540,7 @@ class CrawlEngine:
         return cand.mapInPandas(probe, schema=schema)
 
     # ------------------------------------------------------------------
-    def run_wave(self, wave: int) -> dict:
+    def run_wave(self, wave: int, commit: bool = True) -> dict:
         import time as _time
         _debug = bool(os.environ.get("ADSCRAPER_SPARK_TIMING"))
         _t = [_time.time()]
@@ -865,7 +899,12 @@ class CrawlEngine:
         }
         # per-wave lineage metrics live in the wave manifest (no extra
         # write job); metrics_df() rebuilds a DataFrame from manifests.
-        self._commit_wave(wave, stats)
+        # commit=False (checkpoint_every window): stats stay in-memory
+        # until the next durable manifest pins them.
+        if commit:
+            self._commit_wave(wave, stats)
+        else:
+            self._window_stats.append((wave, stats))
         planned.unpersist()
         fetched.unpersist()
         extracted.unpersist()
@@ -885,13 +924,18 @@ class CrawlEngine:
         if last < 0:
             raise RuntimeError("bootstrap() before run()")
         horizon = max_waves if max_waves is not None else self.config.max_waves
+        ce = max(1, self.config.checkpoint_every)
         out = []
         drained = False
         wave = last + 1
         while wave <= horizon:
             if stop_requested is not None and stop_requested():
                 break
-            stats = self.run_wave(wave)
+            # Durable manifest every `ce` waves (Z4 checkpoint cadence):
+            # skipped waves replay deterministically from the previous
+            # manifest after a crash — cheaper durability, bounded
+            # replay. The loop exit always flushes the open window.
+            stats = self.run_wave(wave, commit=(wave % ce == 0))
             if stats.get("planned", 0) == 0:
                 drained = True
                 break
@@ -902,8 +946,8 @@ class CrawlEngine:
             # num_buckets files. The compaction snapshot is not pinned
             # by a wave manifest; a crash before the next commit rolls
             # back to identical pre-compact data.
-            ce = self.config.compact_every
-            if ce is not None and wave % ce == 0:
+            compact_ce = self.config.compact_every
+            if compact_ce is not None and wave % compact_ce == 0:
                 for table in (self.admitted, self.processed):
                     try:
                         table.compact(self.spark)
@@ -912,6 +956,11 @@ class CrawlEngine:
                         # append — compaction is maintenance, skip it
                         pass
             wave += 1
+        if self._window_stats:
+            # flush the open checkpoint window (drain/horizon/SIGTERM
+            # all leave durable state; only a hard crash replays)
+            w, s = self._window_stats.pop()
+            self._commit_wave(w, s)
         interrupted = stop_requested is not None and stop_requested()
         if not interrupted:
             # crawl completed (frontier drained or horizon reached) —
@@ -948,15 +997,11 @@ class CrawlEngine:
 
     def metrics_df(self) -> DataFrame:
         """Per-wave lineage metrics, rebuilt from the wave manifests
-        (the manifests ARE the metrics store — zero extra write jobs)."""
+        (the manifests ARE the metrics store — zero extra write jobs;
+        waves without their own manifest come from the covering
+        manifest's window)."""
         rows = []
-        for w in range(self.last_committed_wave() + 1):
-            try:
-                with open(self._manifest_path(w)) as f:
-                    m = json.load(f)
-            except FileNotFoundError:
-                continue
-            s = m.get("stats", {})
+        for w, s in self._wave_stats_iter():
             rows.append((w, s.get("planned", s.get("seeds", 0)),
                          s.get("fetched", 0), s.get("errors", 0),
                          s.get("admitted", 0), s.get("disallowed", 0)))

@@ -205,3 +205,52 @@ def test_resume_with_landings_and_refresh(spark, small_setup,
     ev_a = sorted(r["event"] for r in a.crawl_meta.read(spark).collect())
     ev_b = sorted(r["event"] for r in b2.crawl_meta.read(spark).collect())
     assert ev_a == ev_b and len(ev_a) == 2
+
+
+def test_checkpoint_every_window_and_crash_replay(spark, small_setup,
+                                                  tmp_path_factory):
+    """checkpoint_every=3: same crawl as per-wave checkpointing but
+    fewer durable manifests; a hard crash inside an uncommitted window
+    replays those waves deterministically from the last manifest."""
+    import dataclasses
+    import os
+
+    spec, paths, cfg, seeds = small_setup
+    wa = str(tmp_path_factory.mktemp("ce_a"))
+    wb = str(tmp_path_factory.mktemp("ce_b"))
+    wc = str(tmp_path_factory.mktemp("ce_c"))
+
+    a = CrawlEngine(spark, paths["pages"], paths["robots"], wa, cfg)
+    a.bootstrap(seeds)
+    a.run()
+
+    cfg3 = dataclasses.replace(cfg, checkpoint_every=3)
+    b = CrawlEngine(spark, paths["pages"], paths["robots"], wb, cfg3)
+    b.bootstrap(seeds)
+    b.run()
+    assert a.crawl_order() == b.crawl_order()
+    assert a.seen_set() == b.seen_set()
+    assert (a.results.read(spark).count()
+            == b.results.read(spark).count())
+    manifests_a = [n for n in os.listdir(wa) if n.startswith("wave-")]
+    manifests_b = [n for n in os.listdir(wb) if n.startswith("wave-")]
+    assert len(manifests_b) < len(manifests_a)
+    # metrics survive for windowed waves too
+    assert (sorted(r["wave"] for r in a.metrics_df().collect())
+            == sorted(r["wave"] for r in b.metrics_df().collect()))
+
+    # hard crash with TWO waves in the open window (only wave-0 durable)
+    c = CrawlEngine(spark, paths["pages"], paths["robots"], wc, cfg3)
+    c.bootstrap(seeds)
+    c.run_wave(1, commit=False)
+    c.run_wave(2, commit=False)
+    assert c.last_committed_wave() == 0
+    c2 = CrawlEngine(spark, paths["pages"], paths["robots"], wc, cfg3)
+    c2.run()  # resume: rolls back, replays 1-2, finishes
+    assert a.crawl_order() == c2.crawl_order()
+    assert a.seen_set() == c2.seen_set()
+    ra = sorted(map(tuple, a.results.read(spark)
+                    .select("url", "wave", "text").collect()))
+    rc = sorted(map(tuple, c2.results.read(spark)
+                    .select("url", "wave", "text").collect()))
+    assert ra == rc
