@@ -18,6 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from adscraper_spark.pipelines import crawl_parity as _cp
+from adscraper_spark.pipelines import curation as _cur
 from adscraper_spark.pipelines import dedup as _dedup
 from adscraper_spark.pipelines import multimodal as _mm
 from adscraper_spark.pipelines import relational as _rel
@@ -26,7 +27,7 @@ from adscraper_spark.pipelines import similarity as _sim
 from adscraper_spark.pipelines import stacks as _stk
 from adscraper_spark.pipelines import text_quality as _tq
 
-_MODULES = [_rel, _tq, _dedup, _sim, _mm, _cp, _stk, _smp]
+_MODULES = [_rel, _tq, _dedup, _sim, _mm, _cp, _stk, _smp, _cur]
 
 
 def entry(spark: SparkSession) -> DataFrame:
