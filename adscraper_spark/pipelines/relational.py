@@ -419,7 +419,8 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_events"),
                  F.min("ts").alias("session_start"),
                  F.max("ts").alias("session_end"),
-                 F.round(F.sum("value"), 2).alias("total_value"))
+                 F.round(F.sum(F.col("value").cast("decimal(18,4)"))
+                         .cast("double"), 2).alias("total_value"))
             .orderBy("user_id", "session_no"))
 
 
@@ -438,14 +439,16 @@ s AS (
   FROM e
 ),
 n AS (
-  SELECT *, sum(is_new) OVER (PARTITION BY user_id
-                              ORDER BY ts, event_id
-                              ROWS UNBOUNDED PRECEDING) AS session_no
+  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS session_no
   FROM s
 )
 SELECT user_id, session_no, count(*) AS n_events,
        min(ts) AS session_start, max(ts) AS session_end,
-       round(sum(value), 2) AS total_value
+       round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2)
+         AS total_value
 FROM n GROUP BY 1, 2 ORDER BY user_id, session_no
 """
 
@@ -498,7 +501,8 @@ r AS (
   FROM req
 )
 SELECT host, win, count(*) AS n_requests,
-       sum(CASE WHEN rn <= {GATE_BUDGET} THEN 1 ELSE 0 END) AS n_allowed,
+       CAST(sum(CASE WHEN rn <= {GATE_BUDGET} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_allowed,
        min(CASE WHEN rn > {GATE_BUDGET} THEN event_id END)
          AS first_deferred_event
 FROM r GROUP BY host, win ORDER BY host, win

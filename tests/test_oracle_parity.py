@@ -40,6 +40,13 @@ def test_query_matches_oracle(name, spark, duck):
     d = d.sort_values(by=list(d.columns)).reset_index(drop=True)
     for c in s.columns:
         if s[c].dtype.kind == "f" or d[c].dtype.kind == "f":
+            # The driver's value-hash canonicalizes by pandas dtype, so
+            # int-on-one-side / float-on-the-other (e.g. a DuckDB
+            # HUGEINT sum materializing as float64) hash-mismatches even
+            # when values are identical. Mirror that strictness here.
+            assert s[c].dtype.kind == d[c].dtype.kind, (
+                f"{c}: dtype kind {s[c].dtype} vs {d[c].dtype} — "
+                "driver hash would mismatch")
             assert np.allclose(s[c].astype(float), d[c].astype(float),
                                rtol=0, atol=1e-9, equal_nan=True), c
         else:
