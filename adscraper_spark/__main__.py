@@ -60,6 +60,12 @@ def _build_parser() -> argparse.ArgumentParser:
     c.add_argument("--refresh-mains", action="store_true",
                    help="second results row (reload=1) per main page "
                         "(crawler.ts:341-358 refresh-and-rescrape)")
+    c.add_argument("--full-easylists", action="store_true",
+                   help="detect with the vendored REAL EasyList "
+                        "snapshots (13,967 ad + 17,280 cookie "
+                        "selectors, html/data/PROVENANCE.md) instead "
+                        "of the pinned subset — the reference's "
+                        "checked-in lists (ad-detection.ts:14-21)")
     c.add_argument("--cpus", type=int, default=None)
     g = sub.add_parser("gen-corpus", help="write a synthetic corpus")
     g.add_argument("--out", required=True)
@@ -97,7 +103,9 @@ def _package(out: str) -> str:
     with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as zf:
         for root, _dirs, files in os.walk(pkg_dir):
             for fn in sorted(files):
-                if not fn.endswith(".py"):
+                # .json rides along so --full-easylists works on
+                # executors importing from the zip
+                if not fn.endswith((".py", ".json")):
                     continue
                 full = os.path.join(root, fn)
                 rel = os.path.join(
@@ -142,6 +150,12 @@ def main(argv: list[str] | None = None) -> int:
         read_ad_crawl_list_csv, read_crawl_list_text, single_url_seed,
     )
 
+    if args.full_easylists:
+        # must precede the SparkSession: extraction workers inherit the
+        # env the JVM is launched with (easylist.enable_full_lists doc)
+        from .html import easylist
+
+        easylist.enable_full_lists()
     spark = build_session(cpus=args.cpus)
     cfg = CrawlConfig(max_waves=args.max_waves, max_depth=args.max_depth,
                       wave_seconds=args.wave_seconds,

@@ -11,6 +11,13 @@ this pinned list, exactly as the reference's behavior is defined by its
 checked-in snapshot. Swapping in a full EasyList snapshot is a data-file
 change, not a code change (`load_extra_selectors`).
 
+The REAL EasyList snapshots are now vendored too (data/, see
+data/PROVENANCE.md — public EasyList-derived data, 13,967 ad + 17,280
+cookie selectors, the same lists whose counts define the reference's
+detection behavior at ad-detection.ts:14-21). They are off by default
+(oracle artifacts + the synthetic corpus are pinned to the subset);
+`enable_full_lists()` or the CLI `--full-easylists` flag turns them on.
+
 Selector strings below are generic EasyList-style community patterns
 (public list conventions), not copied file content.
 """
@@ -84,12 +91,64 @@ _EXTRA_ADS_ENV = "ADSCRAPER_SPARK_AD_SELECTORS_JSON"
 _EXTRA_COOKIES_ENV = "ADSCRAPER_SPARK_COOKIE_SELECTORS_JSON"
 
 
+#: env value selecting the vendored snapshots (read zip-safely through
+#: importlib.resources, so it also works on executors importing the
+#: package from a --py-files archive where a file path would not open)
+BUNDLED = "bundled"
+
+_BUNDLED_FILES = {
+    _EXTRA_ADS_ENV: "easylist_ad_selectors.json",
+    _EXTRA_COOKIES_ENV: "easylist_cookie_general_hide.json",
+}
+
+
+def _read_bundled(name: str) -> list[str]:
+    from importlib import resources
+
+    ref = resources.files("adscraper_spark.html").joinpath(f"data/{name}")
+    return list(json.loads(ref.read_text()))
+
+
 def load_extra_selectors(env_var: str) -> list[str]:
     path = os.environ.get(env_var)
-    if not path or not os.path.exists(path):
+    if not path:
+        return []
+    if path == BUNDLED:
+        return _read_bundled(_BUNDLED_FILES[env_var])
+    if not os.path.exists(path):
         return []
     with open(path) as f:
         return list(json.load(f))
+
+
+def bundled_full_lists() -> tuple[list[str], list[str]]:
+    """The vendored real EasyList snapshots (data/PROVENANCE.md)."""
+    return (_read_bundled(_BUNDLED_FILES[_EXTRA_ADS_ENV]),
+            _read_bundled(_BUNDLED_FILES[_EXTRA_COOKIES_ENV]))
+
+
+def enable_full_lists() -> None:
+    """Point the extra-selector hook at the vendored real EasyList
+    snapshots and drop the cached indexes so the next build sees them.
+    Process-wide (the indexes are process-level caches by design — the
+    reference likewise loads its lists once per crawler process).
+
+    Spark caveat: extraction workers rebuild the index from these env
+    vars in their own processes, which inherit the env the JVM was
+    LAUNCHED with — call this BEFORE building the SparkSession (the CLI
+    --full-easylists flag does) or the workers keep the pinned subset.
+    """
+    os.environ[_EXTRA_ADS_ENV] = BUNDLED
+    os.environ[_EXTRA_COOKIES_ENV] = BUNDLED
+    ad_selector_index.cache_clear()
+    cookie_selector_index.cache_clear()
+
+
+def disable_full_lists() -> None:
+    os.environ.pop(_EXTRA_ADS_ENV, None)
+    os.environ.pop(_EXTRA_COOKIES_ENV, None)
+    ad_selector_index.cache_clear()
+    cookie_selector_index.cache_clear()
 
 
 @lru_cache(maxsize=1)

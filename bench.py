@@ -310,13 +310,13 @@ def bench_kernel(corpus_paths: dict[str, str]) -> dict:
 
 
 def bench_selector_index() -> dict:
-    """SelectorIndex at reference-list scale (13,967 ad selectors,
-    ad-detection.ts:14-21): ms/page with the vendored list vs the
-    full-scale list — evidence matching is O(features-on-page), not
-    O(selectors). Pure Python, no Spark."""
+    """SelectorIndex at reference-list scale: ms/page with the vendored
+    subset vs the REAL EasyList snapshot (13,967 ad selectors, the
+    very list of ad-detection.ts:14-21, vendored under html/data/) —
+    evidence matching is O(features-on-page), not O(selectors). Pure
+    Python, no Spark."""
     from adscraper_spark.corpus import CorpusSpec, gen_html
     from adscraper_spark.html import easylist
-    from adscraper_spark.html.easylist_scale import full_scale_ad_selectors
     from adscraper_spark.html.parser import parse_html
     from adscraper_spark.html.selectors import SelectorIndex
 
@@ -324,7 +324,7 @@ def bench_selector_index() -> dict:
     docs = [parse_html(gen_html(spec, h, j))
             for h, j in list(spec.iter_pages())[:100]]
     small = SelectorIndex(easylist.AD_SELECTORS)
-    full_list = full_scale_ad_selectors()
+    full_list, _cookies = easylist.bundled_full_lists()
     big = SelectorIndex(full_list)
 
     def run(ix) -> float:
@@ -402,8 +402,48 @@ def main() -> None:
         "selector_index": bench_selector_index(),
         "total_bench_sec": round(time.time() - t_total, 1),
     }
-    print(json.dumps(result))
     _write_bench_md(result)
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(_compact_line(result)))
+
+
+def _compact_line(r: dict) -> dict:
+    """The driver captures only the tail of stdout (~2000 chars), so the
+    final JSON line must stay compact: headline + per-query best +
+    throughput/efficiency scalars only. Full detail (per-query spread,
+    fetch-prune table, selector index) lives in BENCH_DETAIL.json and
+    BENCH.md. (Round-3 lesson: the fat line overflowed the capture and
+    the round recorded `parsed: null`.)"""
+    hi, lo = f"local[{CPUS}]", f"local[{SCALE_LOW}]"
+    klo, khi = f"local[{KERNEL_LOW}]", f"local[{KERNEL_HIGH}]"
+    k = r["kernel_scaling"]
+    compact = {
+        "metric": r["metric"],
+        "value": r["value"],
+        "unit": r["unit"],
+        "queries": r["queries"],
+        "sf": r["sf"],
+        "crawl": {
+            hi: r["crawl"][hi]["urls_per_sec"],
+            lo: r["crawl"][lo]["urls_per_sec"],
+            "scaling_ratio": r["crawl"]["scaling_ratio"],
+            "scaling_efficiency": r["crawl"]["scaling_efficiency"],
+        },
+        "kernel_scaling": {
+            khi: k[khi]["pages_per_sec"],
+            klo: k[klo]["pages_per_sec"],
+            "scaling_ratio": k["scaling_ratio"],
+            "scaling_efficiency": k["scaling_efficiency"],
+        },
+        "detail": "BENCH_DETAIL.json",
+    }
+    if len(json.dumps(compact)) > 1900:  # belt-and-braces: never overflow
+        compact["queries"] = {n: v for n, v in sorted(
+            r["queries"].items(), key=lambda kv: -kv[1])[:15]}
+        compact["queries_truncated_to"] = 15
+    return compact
 
 
 def _write_bench_md(r: dict) -> None:
