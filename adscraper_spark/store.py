@@ -35,10 +35,16 @@ class CommitError(RuntimeError):
 
 # How long a fully-written snap-N.json may sit unpublished (HEAD not
 # advanced) before another committer adopts it as abandoned. The
-# create→rename window of a live writer is milliseconds; anything older
-# is a crashed/killed writer that would otherwise wedge every later
-# append in a long-running process.
-ORPHAN_GRACE_SECONDS = 1.0
+# create→rename window of a live writer is milliseconds on local disk;
+# anything older is a crashed/killed writer that would otherwise wedge
+# every later append in a long-running process. Storage-profile
+# guidance: 1s fits a local/POSIX disk; on an object store (S3+rename
+# emulation, slow metadata) raise to minutes via the env var or the
+# SnapshotTable(orphan_grace_seconds=...) parameter — adoption is
+# idempotent AND _write_head is monotonic, so even a too-short grace
+# cannot regress the table, it just burns a redundant HEAD write.
+ORPHAN_GRACE_SECONDS = float(
+    os.environ.get("ADSCRAPER_SPARK_ORPHAN_GRACE", "1.0"))
 
 
 @dataclass
@@ -54,7 +60,8 @@ class Snapshot:
 
 class SnapshotTable:
     def __init__(self, path: str, bucket_col: str | None = None,
-                 num_buckets: int = 32):
+                 num_buckets: int = 32,
+                 orphan_grace_seconds: float | None = None):
         """``bucket_col``: hash-bucket every data write by this column
         (Iceberg ``bucket(N, col)`` partition-transform analog). The
         frontier logs bucket by ``url`` so the layout is stable and
@@ -65,6 +72,9 @@ class SnapshotTable:
         self.path = path
         self.bucket_col = bucket_col
         self.num_buckets = num_buckets
+        self.orphan_grace_seconds = (
+            ORPHAN_GRACE_SECONDS if orphan_grace_seconds is None
+            else orphan_grace_seconds)
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
         os.makedirs(os.path.join(path, "meta"), exist_ok=True)
 
@@ -128,11 +138,28 @@ class SnapshotTable:
         return new_id
 
     def _write_head(self, snapshot_id: int) -> None:
+        """Monotonic HEAD publish. A committer adopted as an orphan
+        (stalled >grace between manifest link and HEAD rename) may
+        resume AFTER further snapshots committed on top of its adopted
+        one — an unconditional rename would then regress HEAD below
+        published state (e.g. an anti-join against a stale admitted log
+        double-admits until a later adoption re-heals). Skip when HEAD
+        already passed us; after our rename, self-heal the read→rename
+        window by advancing over any complete manifest a concurrent
+        committer linked meanwhile (idempotent with that committer's
+        own pending HEAD write — both write the same value)."""
         meta = os.path.join(self.path, "meta")
-        tmp = os.path.join(meta, f".HEAD.{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            f.write(str(snapshot_id))
-        os.rename(tmp, self._head_path())  # atomic publish
+        while True:
+            if self.current_snapshot_id() >= snapshot_id:
+                return
+            tmp = os.path.join(meta, f".HEAD.{uuid.uuid4().hex}")
+            with open(tmp, "w") as f:
+                f.write(str(snapshot_id))
+            os.rename(tmp, self._head_path())  # atomic publish
+            nxt = snapshot_id + 1
+            if not os.path.exists(os.path.join(meta, f"snap-{nxt}.json")):
+                return
+            snapshot_id = nxt
 
     def _maybe_adopt_orphan(self, expected_parent: int) -> bool:
         """If snap-(parent+1).json exists, is complete, and HEAD has sat
@@ -146,7 +173,7 @@ class SnapshotTable:
             return False  # HEAD moved on its own
         try:
             if (time.time() - os.path.getmtime(snap_path)
-                    < ORPHAN_GRACE_SECONDS):
+                    < self.orphan_grace_seconds):
                 return False
             with open(snap_path) as f:
                 json.load(f)  # complete content (guaranteed by link())
@@ -185,7 +212,7 @@ class SnapshotTable:
                 # unchanged HEAD and burn every attempt inside that
                 # window. If HEAD never advances, the winner died:
                 # adopt its orphan manifest so the table doesn't wedge.
-                deadline = time.time() + ORPHAN_GRACE_SECONDS + 0.5
+                deadline = time.time() + self.orphan_grace_seconds + 0.5
                 while (time.time() < deadline
                        and self.current_snapshot_id() == snap.snapshot_id):
                     if self._maybe_adopt_orphan(snap.snapshot_id):

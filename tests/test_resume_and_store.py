@@ -153,6 +153,58 @@ def test_orphan_snapshot_adopted(spark, tmp_path, monkeypatch):
     assert got == [1, 2]  # orphan listed snapshot-1's file, no dup data
 
 
+def test_write_head_never_regresses(spark, tmp_path):
+    """A publisher that stalled between manifest link and HEAD rename,
+    got adopted, then resumed, must not move HEAD backward below
+    snapshots committed on top of its adopted one."""
+    t = SnapshotTable(str(tmp_path / "mono"))
+    t.append(spark.createDataFrame([(1,)], "a int"))  # snap 1
+    t.append(spark.createDataFrame([(2,)], "a int"))  # snap 2
+    t._write_head(1)  # the resumed stale publisher
+    assert t.current_snapshot_id() == 2
+
+
+def test_write_head_self_heals_clobbered_concurrent_publish(
+        spark, tmp_path):
+    """If a concurrent committer linked snap-(N+1) between our HEAD
+    read and rename, our rename would hide it; _write_head advances
+    over any complete later manifest (idempotent with that committer's
+    own pending HEAD write)."""
+    import json
+    import os
+
+    t = SnapshotTable(str(tmp_path / "heal"))
+    t.append(spark.createDataFrame([(1,)], "a int"))  # snap 1, HEAD 1
+    files = list(t.snapshot().files)
+    for sid in (2, 3):  # two in-flight committers' complete manifests
+        with open(os.path.join(t.path, "meta", f"snap-{sid}.json"),
+                  "w") as f:
+            json.dump({"files": files, "properties": {}}, f)
+    t._write_head(2)
+    assert t.current_snapshot_id() == 3
+
+
+def test_slow_but_alive_writer_not_raced_by_adoption(spark, tmp_path):
+    """With an object-store-sized grace period, a fresh unpublished
+    manifest is NOT adopted (the writer is presumed alive); with a zero
+    grace it is. orphan_grace_seconds is per-table configurable
+    (storage profile: 1s local disk, minutes for object stores)."""
+    import json
+    import os
+
+    patient = SnapshotTable(str(tmp_path / "g"), orphan_grace_seconds=60)
+    patient.append(spark.createDataFrame([(1,)], "a int"))
+    snap2 = os.path.join(patient.path, "meta", "snap-2.json")
+    with open(snap2, "w") as f:
+        json.dump({"files": list(patient.snapshot().files),
+                   "properties": {}}, f)
+    assert patient._maybe_adopt_orphan(1) is False  # inside grace
+    assert patient.current_snapshot_id() == 1
+    eager = SnapshotTable(str(tmp_path / "g"), orphan_grace_seconds=0.0)
+    assert eager._maybe_adopt_orphan(1) is True
+    assert eager.current_snapshot_id() == 2
+
+
 def test_bloom_concurrent_segment_updates_merge(tmp_path):
     """Two updaters racing on the same bloom segment must both land
     (flock around load→add→save): a lost bit turns an already-admitted
