@@ -39,7 +39,10 @@ def _build_parser() -> argparse.ArgumentParser:
     c.add_argument("--max-retries", type=int, default=1)
     c.add_argument("--checkpoint-every", type=int, default=1,
                    help="durable wave-manifest cadence: K>1 trades "
-                        "bounded crash-replay for fewer commits")
+                        "bounded crash-replay for fewer commits; "
+                        "streamed seed batches landing inside an open "
+                        "window are staged durably and join the "
+                        "frontier at the next wave boundary")
     c.add_argument("--max-urls", type=int, default=None,
                    help="frontier cap: stop admitting new URLs once "
                         "this many rows are admitted (pending URLs "

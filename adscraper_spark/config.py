@@ -40,6 +40,13 @@ class CrawlConfig:
     # payload); bigger waves fall back to the shuffle join over the
     # url-bucketed frontier layout.
     broadcast_wave_max: int = 5_000_000
+    # Exchange the post-fetch wave once on url before the extraction
+    # UDF: AQE coalesces the fetch-join output by BYTES (right for
+    # scans, wrong ahead of a 2-5 ms/row CPU-bound UDF stage), so
+    # without it a small-byte wave extracts on too few cores. Measured
+    # A/B at bench scale in BENCH.md (udf_repartition section); False
+    # relies on the join output's inherited partitioning.
+    udf_stage_repartition: bool = True
     # Compact the admitted/processed frontier logs back to
     # frontier_buckets files every K waves (None = never). Iceberg
     # rewrite_data_files analog; keeps the per-wave pending anti-join

@@ -171,6 +171,21 @@ class CrawlEngine:
         # stats of waves run since the last durable manifest
         # (checkpoint_every > 1 leaves a window of uncommitted waves)
         self._window_stats: list[tuple[int, dict]] = []
+        # Streamed-intake staging during an open checkpoint window:
+        # folding into the last manifest there would pin the window's
+        # uncommitted table appends (crash-rollback would replay them as
+        # duplicates), so mid-window seed batches land in this separate
+        # durably-committed table instead and drain into the admitted
+        # log at the next wave boundary (anti-join makes the drain
+        # idempotent across crash replays). NOT in _tables: it must
+        # survive rollback to re-feed the replay.
+        self.late_seeds = SnapshotTable(os.path.join(workdir,
+                                                     "late_seeds"))
+        self._last_drained_id: int | None = None
+        # Durable open-window marker: lets a SEPARATE intake process see
+        # this process's open window (the in-memory _window_stats can't
+        # cross processes) and take the staging path too.
+        self._window_marker = os.path.join(workdir, "window-open.marker")
         self._tables = {
             "admitted": self.admitted, "processed": self.processed,
             "results": self.results, "ads": self.ads,
@@ -240,12 +255,21 @@ class CrawlEngine:
                           for k, t in self._tables.items()},
             "stats": stats,
             "window": window,
+            # staged streamed-intake batches folded into the admitted
+            # log as of this manifest (late-seed drain pin)
+            "late_seeds_drained": (
+                self._last_drained_id if self._last_drained_id is not None
+                else self._late_drained_pin()),
         }
         tmp = self._manifest_path(wave) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         os.rename(tmp, self._manifest_path(wave))
         self._window_stats = []
+        try:
+            os.remove(self._window_marker)  # window closed durably
+        except FileNotFoundError:
+            pass
 
     @staticmethod
     def _stats_frontier_rows(s: dict) -> int:
@@ -274,6 +298,11 @@ class CrawlEngine:
 
     def _rollback_to_last_commit(self) -> int:
         self._window_stats = []
+        self._last_drained_id = None
+        try:  # a crash with an open window leaves a stale marker
+            os.remove(self._window_marker)
+        except FileNotFoundError:
+            pass
         wave = self.last_committed_wave()
         if wave < 0:
             for t in self._tables.values():
@@ -419,15 +448,14 @@ class CrawlEngine:
 
     def _append_admissions(self, df: DataFrame, wave: int) -> int:
         """Shared admit tail: anti-join the admitted log, robots gate,
-        snapshot append + distributed bloom update + manifest fold."""
-        if self._window_stats:
-            # Folding into the last manifest would pin the uncommitted
-            # window's table appends (rollback would replay them as
-            # duplicates). Streamed intake therefore requires
-            # checkpoint_every=1 (the default) when run concurrently.
-            raise RuntimeError(
-                "admit_seeds with an open checkpoint window — streamed "
-                "intake requires checkpoint_every=1 or a completed run()")
+        snapshot append + distributed bloom update + manifest fold.
+        With an open checkpoint window (this process's in-memory state
+        OR another process's durable marker), the batch is STAGED
+        instead — folding into the last manifest would pin the window's
+        uncommitted table appends and crash-rollback would replay them
+        as duplicates."""
+        if self._window_stats or os.path.exists(self._window_marker):
+            return self._stage_late_seeds(df)
         existing = self.admitted.read(self.spark)
         if existing is not None:
             df = df.join(existing.select("url"), "url", "left_anti")
@@ -460,6 +488,72 @@ class CrawlEngine:
             json.dump(manifest, f)
         os.rename(tmp, self._manifest_path(last))
         return n_new
+
+    # ------------------------------------------------------------------
+    # mid-window streamed intake: stage durably, drain at wave boundary
+    # ------------------------------------------------------------------
+    def _stage_late_seeds(self, df: DataFrame) -> int:
+        """Durably park a mid-window seed batch (its own snapshot
+        commit — the caller's durability guarantee) without touching
+        the admitted log or any wave manifest. The anti-join here is
+        only for an honest 'newly admitted' return count and a smaller
+        staging write; the drain anti-joins again, so double-staging a
+        URL is harmless."""
+        existing = self.admitted.read(self.spark)
+        if existing is not None:
+            df = df.join(existing.select("url"), "url", "left_anti")
+        df = df.cache()
+        n = int(df.count())
+        if n:
+            self.late_seeds.append(df)
+        df.unpersist()
+        return n
+
+    def _late_drained_pin(self) -> int:
+        """late_seeds snapshot id the last durable manifest certifies as
+        folded into the admitted log."""
+        last = self.last_committed_wave()
+        if last < 0:
+            return 0
+        with open(self._manifest_path(last)) as f:
+            return json.load(f).get("late_seeds_drained", 0)
+
+    def _drain_late_seeds(self, wave: int) -> int:
+        """Fold staged mid-window batches into the admitted log at a
+        wave boundary. Idempotent across crash replays: rows are read
+        incrementally past the manifest-pinned drain point and
+        anti-joined against the (rolled-back) admitted log, so a replay
+        re-admits exactly the rows the crash un-did."""
+        cur = self.late_seeds.current_snapshot_id()
+        pinned = self._late_drained_pin()
+        if cur <= pinned:
+            return 0
+        staged = self.late_seeds.read_since(self.spark, pinned)
+        if staged is None:
+            self._last_drained_id = cur
+            return 0
+        # first occurrence wins across batches (same min-seq rule as
+        # admit_seeds_df), then the standard admit tail
+        rest = [c for c in ADMITTED_COLS if c != "url"]
+        staged = (staged.groupBy("url")
+                  .agg(F.min(F.struct("seq", *[c for c in rest
+                                               if c != "seq"])).alias("m"))
+                  .select("url", *[F.col(f"m.{c}").alias(c)
+                                   for c in rest]))
+        existing = self.admitted.read(self.spark)
+        if existing is not None:
+            staged = staged.join(existing.select("url"), "url",
+                                 "left_anti")
+        staged = (self._with_robots_txt(staged)
+                  .mapInPandas(_seed_state_batches, schema=ADMITTED_SCHEMA)
+                  .select(*ADMITTED_COLS).cache())
+        n = int(staged.count())
+        if n:
+            self.admitted.append(staged)
+            self._update_bloom_distributed(staged, wave)
+        staged.unpersist()
+        self._last_drained_id = cur
+        return n
 
     # ------------------------------------------------------------------
     def pending_df(self) -> DataFrame:
@@ -555,6 +649,12 @@ class CrawlEngine:
         cfg = self.config
         spark = self.spark
 
+        # fold any staged mid-window seed batches into the frontier at
+        # this wave boundary (no-op when nothing staged)
+        n_late = self._drain_late_seeds(wave)
+        if n_late:
+            _tick(f"late-seed drain ({n_late})")
+
         pending = self.pending_df()
         planned = plan_wave(
             pending.select("url", "host", "path", "depth", "priority",
@@ -578,7 +678,8 @@ class CrawlEngine:
         _tick(f"plan ({n_planned})")
         if n_planned == 0:
             planned.unpersist()
-            return {"planned": 0}
+            return ({"planned": 0, "late_seeds": n_late} if n_late
+                    else {"planned": 0})
 
         # Corpus scan for this wave: pruned to the wave's bucket dirs
         # when the corpus is bucketed (scan ∝ wave spread, not corpus
@@ -620,8 +721,11 @@ class CrawlEngine:
         # Extraction is CPU-bound Python-side work: AQE coalesces the join
         # output by *bytes* (fine for scans, wrong for a 2-5 ms/row UDF
         # stage), so repartition to full parallelism before the UDF.
+        # (cfg.udf_stage_repartition=False skips the exchange — A/B in
+        # BENCH.md defends the default.)
         par = spark.sparkContext.defaultParallelism
-        ok = fetched.repartition(par, "url")
+        ok = (fetched.repartition(par, "url")
+              if cfg.udf_stage_repartition else fetched)
         extracted = extract_pages(ok).cache()
         if _debug:
             extracted.count()
@@ -897,6 +1001,10 @@ class CrawlEngine:
             "disallowed": n_disallowed,
             "approx_hosts": n_hosts,
         }
+        if n_late:
+            # staged mid-window batches folded this wave — counted here
+            # (not at stage time) so _admitted_total sums each row once
+            stats["late_seeds"] = n_late
         # per-wave lineage metrics live in the wave manifest (no extra
         # write job); metrics_df() rebuilds a DataFrame from manifests.
         # commit=False (checkpoint_every window): stats stay in-memory
@@ -904,6 +1012,9 @@ class CrawlEngine:
         if commit:
             self._commit_wave(wave, stats)
         else:
+            if not self._window_stats:  # window opens: publish durably
+                with open(self._window_marker, "w") as f:
+                    f.write(str(wave))
             self._window_stats.append((wave, stats))
         planned.unpersist()
         fetched.unpersist()

@@ -40,9 +40,13 @@ def _e2e_engine(spark: SparkSession):
     from ..corpus import gen_seeds
     from ..engine import CrawlEngine
 
-    eng = _E2E_CACHE.get(id(spark))
-    if eng is not None:
-        return eng
+    # Key by applicationId AND hold the session: id(spark) alone can be
+    # reused by a NEW session after the old one is garbage-collected,
+    # handing back an engine bound to a stopped SparkContext.
+    key = spark.sparkContext.applicationId
+    hit = _E2E_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
     p = ensure_oracle_artifacts()
     work = tempfile.mkdtemp(prefix="adscraper_spark_e2e_")
     eng = CrawlEngine(spark, p["pages"], p["robots"], work,
@@ -51,7 +55,7 @@ def _e2e_engine(spark: SparkSession):
                    for i, u in enumerate(gen_seeds(oracle_spec(),
                                                    N_SEEDS))])
     eng.run()
-    _E2E_CACHE[id(spark)] = eng
+    _E2E_CACHE[key] = (spark, eng)
     return eng
 
 

@@ -220,10 +220,15 @@ def f6_keyword_filter_with_fallback(spark: SparkSession,
     for k in kws:
         c = F.lower(F.col("text")).contains(k)
         pred = c if pred is None else (pred | c)
-    matched = doc.filter(pred).select("doc_id", "lang")
-    if matched.limit(1).count() == 0:  # fallback: use all (find-page.ts:59)
-        return doc.select("doc_id", "lang").orderBy("doc_id")
-    return matched.orderBy("doc_id")
+    # ONE plan, no driver-side count: the any-match bit is a 1-row
+    # partial-aggregated global agg broadcast back onto the rows
+    # (same pattern as analysis.find_pages_with_ads) — keep rows where
+    # the keyword hit, or where nothing in the table hit (fallback).
+    flagged = doc.select("doc_id", "lang", pred.alias("kw"))
+    any_kw = flagged.agg(F.max("kw").alias("has_kw"))
+    return (flagged.crossJoin(F.broadcast(any_kw))
+            .filter(~F.col("has_kw") | F.col("kw"))
+            .select("doc_id", "lang").orderBy("doc_id"))
 
 
 F6_SQL = """

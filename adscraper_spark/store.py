@@ -267,6 +267,19 @@ class SnapshotTable:
             return None
         return spark.read.parquet(*snap.files)
 
+    def read_since(self, spark: SparkSession,
+                   snapshot_id: int) -> DataFrame | None:
+        """Rows appended after ``snapshot_id`` (incremental read: the
+        data files in HEAD that the base snapshot does not list —
+        Iceberg's incremental-scan analog). None if nothing new."""
+        head = self.snapshot()
+        base = (set(self.snapshot(snapshot_id).files)
+                if snapshot_id else set())
+        new = [f for f in head.files if f not in base]
+        if not new:
+            return None
+        return spark.read.parquet(*new)
+
     def properties(self) -> dict:
         return self.snapshot().properties
 

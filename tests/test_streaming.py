@@ -95,6 +95,85 @@ def test_admit_seeds_preserves_other_table_snapshots(
     assert eng.results.current_snapshot_id() == before["results"]
 
 
+def test_admit_seeds_mid_window_stages_then_drains(
+        spark, small, tmp_path_factory):
+    """checkpoint_every>1: a seed batch landing inside an open
+    checkpoint window must not error and must not fold into the last
+    manifest (that would pin the window's uncommitted appends). It is
+    staged durably and drained into the frontier at the next wave
+    boundary — exactly once, even across a crash replay."""
+    spec, paths = small
+    cfg = CrawlConfig(wave_seconds=10, default_budget=3, max_waves=6,
+                      max_depth=0, checkpoint_every=3)
+    work = str(tmp_path_factory.mktemp("wstage"))
+    eng = CrawlEngine(spark, paths["pages"], paths["robots"], work, cfg)
+    eng.bootstrap([(0, spec.page_url(0, 0))])
+    eng.run_wave(1, commit=False)  # window opens (durable marker)
+    late_url = spec.page_url(3, 0)
+    assert eng.admit_seeds([(5, late_url)]) == 1
+    # staged, NOT in the admitted log yet
+    adm = eng.admitted.read(spark)
+    assert adm.filter(adm.url == late_url).count() == 0
+    assert eng.late_seeds.current_snapshot_id() == 1
+    # next wave boundary drains it into the frontier
+    stats = eng.run_wave(2, commit=False)
+    assert stats.get("late_seeds") == 1
+    adm = eng.admitted.read(spark)
+    assert adm.filter(adm.url == late_url).count() == 1
+
+    # hard crash inside the window: a fresh engine rolls the admitted
+    # log back past the drain, then the replay re-drains exactly once
+    eng2 = CrawlEngine(spark, paths["pages"], paths["robots"], work, cfg)
+    eng2.run()
+    adm2 = eng2.admitted.read(spark)
+    assert adm2.filter(adm2.url == late_url).count() == 1
+    assert (adm2.groupBy("url").count().filter("count > 1").count()
+            == 0)
+    assert late_url in eng2.seen_set()  # it actually got crawled
+    # the drain pin is durable, so a completed run re-drains nothing
+    assert eng2._late_drained_pin() == \
+        eng2.late_seeds.current_snapshot_id()
+
+
+def test_cross_process_intake_sees_window_marker(
+        spark, small, tmp_path_factory):
+    """A SEPARATE intake process (second engine instance on the same
+    workdir) must take the staging path while another process's window
+    is open — the durable marker is what crosses the process
+    boundary."""
+    import json
+
+    spec, paths = small
+    cfg = CrawlConfig(wave_seconds=10, default_budget=3, max_waves=6,
+                      max_depth=0, checkpoint_every=4)
+    work = str(tmp_path_factory.mktemp("wmark"))
+    eng = CrawlEngine(spark, paths["pages"], paths["robots"], work, cfg)
+    eng.bootstrap([(0, spec.page_url(0, 0))])
+    eng.run_wave(1, commit=False)
+    import os
+
+    assert os.path.exists(eng._window_marker)
+    with open(eng._manifest_path(eng.last_committed_wave())) as f:
+        pin_before = json.load(f)["snapshots"]["admitted"]
+
+    intake = CrawlEngine(spark, paths["pages"], paths["robots"], work,
+                         cfg)
+    assert intake._window_stats == []  # fresh process analog
+    assert intake.admit_seeds([(7, spec.page_url(2, 0))]) == 1
+    assert intake.late_seeds.current_snapshot_id() >= 1
+    with open(eng._manifest_path(eng.last_committed_wave())) as f:
+        m = json.load(f)
+    assert m["snapshots"]["admitted"] == pin_before  # no fold happened
+    # completing the run closes the window durably and folds the staged
+    # batch into the crawl exactly once
+    import os as _os
+
+    eng.run()
+    assert not _os.path.exists(eng._window_marker)
+    adm = eng.admitted.read(spark)
+    assert adm.filter(adm.url == spec.page_url(2, 0)).count() == 1
+
+
 def test_host_fetch_rates_watermarked(spark, tmp_path):
     src_dir = tmp_path / "fetchlog"
     src_dir.mkdir()
