@@ -40,13 +40,16 @@ class CrawlConfig:
     # payload); bigger waves fall back to the shuffle join over the
     # url-bucketed frontier layout.
     broadcast_wave_max: int = 5_000_000
-    # Exchange the post-fetch wave once on url before the extraction
-    # UDF: AQE coalesces the fetch-join output by BYTES (right for
-    # scans, wrong ahead of a 2-5 ms/row CPU-bound UDF stage), so
-    # without it a small-byte wave extracts on too few cores. Measured
-    # A/B at bench scale in BENCH.md (udf_repartition section); False
-    # relies on the join output's inherited partitioning.
-    udf_stage_repartition: bool = True
+    # Exchange the post-fetch wave on url before the extraction UDF.
+    # Default OFF (round-4 A/B, BENCH.md): the broadcast fetch-join
+    # output inherits the corpus scan's partitioning — ∝ the wave's
+    # bucket set on a bucketed corpus, ∝ corpus files otherwise — which
+    # already feeds the UDF enough partitions, and skipping the
+    # exchange of the wave's html measured ~11% faster AND far less
+    # variant (2371 vs 2132 urls/s best-of-3 interleaved at the bench
+    # corpus). Turn on only for corpora whose scan yields fewer
+    # partitions than cores under heavy per-row extraction.
+    udf_stage_repartition: bool = False
     # Compact the admitted/processed frontier logs back to
     # frontier_buckets files every K waves (None = never). Iceberg
     # rewrite_data_files analog; keeps the per-wave pending anti-join

@@ -229,15 +229,109 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-composition report: per-source document/character counts
+    and character share — the mix table a webtext pipeline rebalances
+    training data against (per-domain caps, up/down-sampling). Exact
+    long sums; the share is one double division so both engines agree
+    bit-for-bit. One partial-agg shuffle on source + a 1-row broadcast
+    total — corpus-size independent width at 100 TB."""
+    doc = _docs(spark, sf_dir)
+    per = doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"))
+    total = per.agg(F.sum("total_chars").alias("all_chars"))
+    return (per.crossJoin(F.broadcast(total))
+            .select("source", "n_docs", "total_chars",
+                    F.round(F.col("total_chars")
+                            / F.col("all_chars"), 6).alias("char_share"))
+            .orderBy(F.desc("n_docs"), "source"))
+
+
+DOMAIN_MIX_SQL = """
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, total_chars,
+       round(CAST(total_chars AS DOUBLE)
+             / (SELECT CAST(sum(total_chars) AS DOUBLE) FROM per), 6)
+         AS char_share
+FROM per ORDER BY n_docs DESC, source
+"""
+
+
+# PII patterns pinned to constructs whose semantics match in Java regex
+# and DuckDB's RE2: literal classes, +, bounded repetition.
+PII_EMAIL_RE = "[a-z0-9]+@[a-z0-9]+\\.com"
+PII_PHONE_RE = "\\+1-555-[0-9]{4}"
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the documents table: count and mask email /
+    phone shapes. The synthetic corpus text contains none, so (like
+    f2's URL derivation) a deterministic PII-bearing suffix is appended
+    from doc_id with the SAME expression on both sides — the scrub
+    mechanics (match-count + masked-text hash) are then non-vacuous.
+    Pure JVM column algebra; at 100 TB this is one narrow projection,
+    no shuffle."""
+    doc = _docs(spark, sf_dir)
+    aug = F.concat(
+        F.col("text"), F.lit(" contact user"),
+        F.col("doc_id").cast("string"), F.lit("@mail"),
+        (F.col("doc_id") % 7).cast("string"), F.lit(".com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" now"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(aug, PII_EMAIL_RE, "<EMAIL>"),
+        PII_PHONE_RE, "<PHONE>")
+    return (doc.select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(PII_EMAIL_RE)).cast("long")
+        .alias("n_emails"),
+        F.regexp_count(aug, F.lit(PII_PHONE_RE)).cast("long")
+        .alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_hash"))
+        .orderBy("doc_id"))
+
+
+PII_SCRUB_SQL = f"""
+WITH a AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail' || CAST(doc_id % 7 AS VARCHAR)
+              || '.com or +1-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' now' AS aug
+  FROM documents
+)
+SELECT doc_id,
+       CAST(length(regexp_extract_all(aug, '{PII_EMAIL_RE}'))
+            AS BIGINT) AS n_emails,
+       CAST(length(regexp_extract_all(aug, '{PII_PHONE_RE}'))
+            AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(aug, '{PII_EMAIL_RE}',
+                                         '<EMAIL>', 'g'),
+                          '{PII_PHONE_RE}', '<PHONE>', 'g'))
+         AS scrubbed_hash
+FROM a ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "lang_id": lang_id,
     "quality_score": quality_score,
     "token_count": token_count,
     "doc_fingerprint": doc_fingerprint,
+    "domain_mix": domain_mix,
+    "pii_scrub": pii_scrub,
 }
 ORACLES = {
     "lang_id": lang_id_sql(),
     "quality_score": quality_score_sql(),
     "token_count": token_count_sql(),
     "doc_fingerprint": doc_fingerprint_sql(),
+    "domain_mix": DOMAIN_MIX_SQL,
+    "pii_scrub": PII_SCRUB_SQL,
 }

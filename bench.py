@@ -27,7 +27,7 @@ HEADLINE = [
     "q1_pricing_summary", "j1_region_revenue", "w1_host_priority_queue",
     "j5_unseen_anti_join", "z1_hourly_event_counts",
     "dedup_exact", "dedup_minhash_lsh", "simhash", "doc_fingerprint",
-    "token_count", "lang_id", "quality_score",
+    "token_count", "lang_id", "quality_score", "domain_mix", "pii_scrub",
     "ann_cosine_topk", "ann_lsh_buckets", "ann_lsh_search",
     "ann_ivf_search", "near_dup_embeddings", "near_dup_lsh",
     "sessionize",
@@ -545,22 +545,36 @@ def _write_bench_md(r: dict) -> None:
         "run noise; flatness is the evidence, the contrast grows with "
         "corpus bytes.",
         "",
-        "## SelectorIndex at EasyList scale",
+        "## UDF-stage exchange A/B (round 4, one-time measurement)",
         "",
-        "Matching cost vs selector-list size (O(features-on-page) "
-        "evidence):",
+        "Same 120k-page corpus, 30k seeds, 2 waves, local[32], paired",
+        "interleaved trials, best-of-3: `udf_stage_repartition=True`",
+        "(exchange the wave's html on url before the extraction UDF)",
+        "2132.3 urls/s vs `False` (consume the broadcast fetch-join",
+        "output directly) 2371.5 urls/s — skipping the exchange is",
+        "~11% faster and far less run-variant (False side spread 2.6%",
+        "vs 80% for True). The scan partitioning already feeds the UDF",
+        "(∝ wave bucket set on a bucketed corpus); default flipped to",
+        "False, plan-shape test asserts no shuffle exchange between",
+        "scan and UDF (tests/test_plan_shape.py).",
+        "",
+        "## SelectorIndex at the REAL EasyList snapshot",
+        "",
+        "Matching cost, pinned subset vs the vendored real EasyList ad",
+        "list (html/data/, the very list of ad-detection.ts:14-21) —",
+        "O(features-on-page) evidence:",
         "",
         "| selectors | ms/page |",
         "| --- | --- |",
-        f"| {r['selector_index']['n_selectors_small']} (vendored) | "
+        f"| {r['selector_index']['n_selectors_small']} (pinned subset) | "
         f"{r['selector_index']['ms_per_page_small']} |",
-        f"| {r['selector_index']['n_selectors_full']} (full EasyList "
-        f"scale) | {r['selector_index']['ms_per_page_full']} |",
+        f"| {r['selector_index']['n_selectors_full']} (real EasyList "
+        f"snapshot) | {r['selector_index']['ms_per_page_full']} |",
         "",
         f"{r['selector_index']['n_selectors_full'] // max(1, r['selector_index']['n_selectors_small'])}× "
         f"more selectors cost {r['selector_index']['slowdown_full_vs_small']}× "
-        "the match time — the inverted id/class/attr index touches only "
-        "buckets whose tokens appear on the node.",
+        "the match time — the inverted id/class/tag/attr-trie index "
+        "touches only buckets whose tokens appear on the node.",
         "",
         "## Headline operator timings "
         f"(sf{r['sf']}, {hi}, noop-write full evaluation; best of "

@@ -115,6 +115,36 @@ def test_extraction_stage_partition_count(spark):
     out = extract_pages(df.repartition(par, "url"))
     assert out.rdd.getNumPartitions() == par
 
+
+def test_extraction_default_path_adds_no_exchange(spark, tmp_path):
+    """Round-4 default (udf_stage_repartition=False, A/B in BENCH.md):
+    the extraction UDF consumes the broadcast fetch-join output
+    DIRECTLY — no exchange moves the wave's html between the corpus
+    scan and the Python stage, and the stage inherits the scan's
+    partition count (∝ the wave's bucket set on a bucketed corpus)."""
+    from adscraper_spark.engine import fetch_join
+    from adscraper_spark.extraction.udfs import extract_pages
+
+    n_files = 8
+    src = spark.range(4000).select(
+        F.concat(F.lit("https://h.test/"), "id").alias("url"),
+        F.lit("<p>x</p>").alias("html"),
+        F.lit("ts").alias("warc_ts"), F.lit("en").alias("lang"))
+    path = str(tmp_path / "pages")
+    src.repartition(n_files).write.parquet(path)
+    pages = spark.read.parquet(path)
+    sched = spark.range(100).select(
+        F.concat(F.lit("https://h.test/"), "id").alias("url"),
+        F.lit(0).alias("depth"))
+    out = extract_pages(fetch_join(pages, sched, 100, 5_000_000))
+    plan = _plan(out)
+    # the wave side broadcasts (BroadcastExchange is the point); no
+    # shuffle exchange may move the html between scan and UDF
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    # the UDF stage inherits the scan's partitioning
+    assert out.rdd.getNumPartitions() >= n_files
+
 def test_fetch_join_broadcasts_wave_side(spark):
     """The wave fetch must broadcast the scheduled-url side so the
     corpus html column is never exchanged (engine.fetch_join)."""
