@@ -148,3 +148,35 @@ def test_bloom_crash_tmp_file_ignored(tmp_path):
     (d / "wave-junk.npy").write_bytes(b"torn")  # unparseable stray
     seg = store.load_segment(0, 5)
     assert seg.might_contain("u1")
+
+
+def test_bench_compact_line_fits_driver_capture():
+    """The driver captures only the tail of bench.py's stdout; the
+    final JSON line must stay well under ~2000 chars (round-3 lesson:
+    an overgrown line recorded parsed:null for the whole round)."""
+    import importlib.util
+    import json
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(os.path.dirname(__file__), "..",
+                                  "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    queries = {n: 123.456 for n in bench.HEADLINE}
+    r = {"metric": "crawl frontier URLs scheduled+fetched per second "
+                   "(best config: local[32])",
+         "value": 99999.99, "unit": "urls/sec", "queries": queries,
+         "sf": "0.1",
+         "crawl": {"local[32]": {"urls_per_sec": 99999.99},
+                   "local[8]": {"urls_per_sec": 99999.99},
+                   "scaling_ratio": 4.0, "scaling_efficiency": 0.999},
+         "kernel_scaling": {
+             "local[2]": {"wall_sec": 999.99, "pages_per_sec": 9999.9},
+             "local[8]": {"wall_sec": 999.99, "pages_per_sec": 99999.9},
+             "scaling_ratio": 4.0, "scaling_efficiency": 0.999}}
+    line = json.dumps(bench._compact_line(r))
+    assert len(line) < 1900, len(line)
+    parsed = json.loads(line)
+    assert parsed["kernel_scaling"]["scaling_efficiency"] == 0.999
+    assert set(parsed["queries"]) == set(bench.HEADLINE)
