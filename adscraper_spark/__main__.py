@@ -51,6 +51,10 @@ def _build_parser() -> argparse.ArgumentParser:
     c.add_argument("--site-budget-seconds", type=float, default=None,
                    help="Z2 per-site virtual time budget per wave "
                         "(reference: 15-min site race, crawler.ts:80-97)")
+    c.add_argument("--vacuum-every", type=int, default=None,
+                   help="expire unreferenced table snapshots/data "
+                        "files every K waves (storage maintenance; "
+                        "rollback pins always retained)")
     c.add_argument("--compact-every", type=int, default=None,
                    help="fold frontier logs to the bucketed layout "
                         "every K waves (Iceberg rewrite_data_files "
@@ -169,6 +173,7 @@ def main(argv: list[str] | None = None) -> int:
                       salt_fanout=args.salt_fanout,
                       site_budget_seconds=args.site_budget_seconds,
                       compact_every=args.compact_every,
+                      vacuum_every=args.vacuum_every,
                       admit_ad_landings=args.admit_ad_landings,
                       max_ad_landings_per_page=args.max_ad_landings_per_page,
                       refresh_mains=args.refresh_mains)

@@ -55,6 +55,11 @@ class CrawlConfig:
     # rewrite_data_files analog; keeps the per-wave pending anti-join
     # from degrading into a many-thousand-file scan on long crawls.
     compact_every: int | None = None
+    # Expire unreferenced table snapshots + data files every K waves
+    # (None = never; engine.vacuum docstring). Storage maintenance for
+    # long crawls — correctness-neutral: rollback/read_since pins are
+    # always retained.
+    vacuum_every: int | None = None
     # Z5 failure/retry semantics: a fetch error is retried in a later
     # wave until this many attempts (reference analog: k8s
     # backoffLimitPerIndex=20, indexed-job.yaml:10-14). 1 = no retry.

@@ -556,6 +556,34 @@ class CrawlEngine:
         return n
 
     # ------------------------------------------------------------------
+    def vacuum(self, retain_last: int = 2,
+               min_age_seconds: float = 60.0) -> dict:
+        """Table maintenance (Iceberg expire_snapshots +
+        remove_orphan_files analog): every wave appends a snapshot per
+        table and every compaction/rollback strands predecessors —
+        unbounded storage growth on a long crawl. Expire everything not
+        needed for correctness: HEAD, the last durable wave manifest's
+        pinned snapshot per table (the only rollback target —
+        _rollback_to_last_commit never reaches further back), the
+        late-seed drain pin (read_since diffs against its manifest),
+        anything ahead of HEAD (in-flight publishes), and the
+        ``retain_last`` most recent as slack."""
+        pins: dict[str, int] = {}
+        last = self.last_committed_wave()
+        if last >= 0:
+            with open(self._manifest_path(last)) as f:
+                pins = json.load(f).get("snapshots", {})
+        out = {}
+        for name, table in self._tables.items():
+            out[name] = table.expire_snapshots(
+                retain_ids={pins.get(name, 0)}, retain_last=retain_last,
+                min_age_seconds=min_age_seconds)
+        out["late_seeds"] = self.late_seeds.expire_snapshots(
+            retain_ids={self._late_drained_pin()},
+            retain_last=retain_last, min_age_seconds=min_age_seconds)
+        return out
+
+    # ------------------------------------------------------------------
     def pending_df(self) -> DataFrame:
         """Pending = admitted-pending minus exhausted URLs. A URL is
         exhausted once fetched, or after max_retries error attempts
@@ -1066,6 +1094,9 @@ class CrawlEngine:
                         # lost the CAS to a concurrent streamed seed
                         # append — compaction is maintenance, skip it
                         pass
+            vac_ce = self.config.vacuum_every
+            if vac_ce is not None and wave % vac_ce == 0:
+                self.vacuum()
             wave += 1
         if self._window_stats:
             # flush the open checkpoint window (drain/horizon/SIGTERM

@@ -267,6 +267,58 @@ class SnapshotTable:
             return None
         return spark.read.parquet(*snap.files)
 
+    def expire_snapshots(self, retain_ids: set[int] | None = None,
+                         retain_last: int = 1,
+                         min_age_seconds: float = 60.0) -> dict:
+        """Iceberg ``expire_snapshots`` analog: drop manifest JSONs that
+        are neither HEAD, recent (``retain_last``), explicitly pinned
+        (``retain_ids`` — the engine passes wave-manifest pins), nor
+        ahead of HEAD (in-flight/orphan publishes), then delete data
+        directories referenced by NO retained snapshot. Without this a
+        long crawl retains every per-wave append and every
+        compaction/overwrite predecessor forever — at 10^10-frontier
+        scale that is the dominant storage cost.
+
+        ``min_age_seconds`` guards concurrent appenders: a data dir
+        younger than the grace may belong to an append whose CAS has
+        not landed yet, so it is never deleted (Iceberg's
+        orphan-file-removal retention interval analog)."""
+        import shutil
+
+        head = self.current_snapshot_id()
+        all_ids = self.snapshots()
+        keep = {head} | {i for i in (retain_ids or ()) if i}
+        if retain_last:
+            keep.update(all_ids[-retain_last:])
+        keep.update(i for i in all_ids if i > head)
+        live_files: set[str] = set()
+        for sid in keep:
+            if sid in all_ids:
+                live_files.update(self.snapshot(sid).files)
+        removed_snapshots = []
+        for sid in all_ids:
+            if sid not in keep:
+                os.remove(os.path.join(self.path, "meta",
+                                       f"snap-{sid}.json"))
+                removed_snapshots.append(sid)
+        removed_dirs = 0
+        data_root = os.path.join(self.path, "data")
+        now = time.time()
+        for name in os.listdir(data_root):
+            p = os.path.join(data_root, name)
+            if p in live_files:
+                continue
+            try:
+                if now - os.path.getmtime(p) < min_age_seconds:
+                    continue  # possibly an in-flight append's files
+            except OSError:
+                continue
+            shutil.rmtree(p, ignore_errors=True)
+            removed_dirs += 1
+        return {"removed_snapshots": removed_snapshots,
+                "removed_data_dirs": removed_dirs,
+                "retained": sorted(keep & set(all_ids))}
+
     def read_since(self, spark: SparkSession,
                    snapshot_id: int) -> DataFrame | None:
         """Rows appended after ``snapshot_id`` (incremental read: the

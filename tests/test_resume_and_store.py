@@ -205,6 +205,78 @@ def test_slow_but_alive_writer_not_raced_by_adoption(spark, tmp_path):
     assert eager.current_snapshot_id() == 2
 
 
+def test_expire_snapshots_drops_unreferenced_keeps_pins(spark, tmp_path):
+    """Iceberg expire_snapshots analog: old manifests and data dirs a
+    retained snapshot no longer references are deleted; HEAD, explicit
+    pins, and fresh (possibly in-flight) data dirs survive."""
+    import os
+
+    t = SnapshotTable(str(tmp_path / "exp"))
+    for i in range(4):
+        t.append(spark.createDataFrame([(i,)], "a int"))
+    t.compact(spark)  # snapshot 5: one folded dir, 4 predecessors dead
+    n_dirs_before = len(os.listdir(os.path.join(t.path, "data")))
+    res = t.expire_snapshots(retain_ids={2}, retain_last=1,
+                             min_age_seconds=0.0)
+    # snapshots kept: HEAD(5) + pin(2); 1,3,4 expired
+    assert res["removed_snapshots"] == [1, 3, 4]
+    assert sorted(res["retained"]) == [2, 5]
+    # pinned snapshot 2 still time-travels; HEAD still reads fully
+    assert sorted(r["a"] for r in t.read(spark).collect()) == [0, 1, 2, 3]
+    assert sorted(r["a"] for r in t.read(spark, 2).collect()) == [0, 1]
+    # data dirs referenced only by 3/4 are gone (dirs of snap 2 and the
+    # compacted dir remain: 2 appends + 1 compaction = 3)
+    n_dirs_after = len(os.listdir(os.path.join(t.path, "data")))
+    assert n_dirs_before == 5 and n_dirs_after == 3
+
+
+def test_expire_snapshots_grace_spares_fresh_dirs(spark, tmp_path):
+    """A data dir younger than min_age_seconds may belong to an append
+    whose CAS has not landed — never deleted."""
+    import os
+
+    t = SnapshotTable(str(tmp_path / "gr"))
+    t.append(spark.createDataFrame([(1,)], "a int"))
+    t.overwrite(spark.createDataFrame([(2,)], "a int"))  # dir 1 dead
+    res = t.expire_snapshots(retain_last=1, min_age_seconds=3600)
+    assert res["removed_data_dirs"] == 0  # too fresh to touch
+    res = t.expire_snapshots(retain_last=1, min_age_seconds=0.0)
+    assert res["removed_data_dirs"] == 1
+
+
+def test_engine_vacuum_preserves_resume(spark, small_setup,
+                                        tmp_path_factory):
+    """vacuum() mid-crawl must not break crash-rollback or change the
+    final state: the last manifest's pins are retained, so a fresh
+    engine resumes identically; storage shrinks."""
+    import os
+
+    spec, paths, cfg, seeds = small_setup
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, max_waves=4)
+    wa = str(tmp_path_factory.mktemp("vac_a"))
+    wb = str(tmp_path_factory.mktemp("vac_b"))
+
+    a = CrawlEngine(spark, paths["pages"], paths["robots"], wa, cfg)
+    a.bootstrap(seeds)
+    a.run()
+
+    b = CrawlEngine(spark, paths["pages"], paths["robots"], wb, cfg)
+    b.bootstrap(seeds)
+    b.run(max_waves=2)
+    before = sum(len(files) for _, _, files in os.walk(wb))
+    vac = b.vacuum(retain_last=1, min_age_seconds=0.0)
+    after = sum(len(files) for _, _, files in os.walk(wb))
+    assert after < before  # storage actually shrank
+    assert any(v["removed_snapshots"] for v in vac.values())
+    # crash + resume from the vacuumed workdir
+    b2 = CrawlEngine(spark, paths["pages"], paths["robots"], wb, cfg)
+    b2.run()
+    assert a.crawl_order() == b2.crawl_order()
+    assert a.seen_set() == b2.seen_set()
+
+
 def test_bloom_concurrent_segment_updates_merge(tmp_path):
     """Two updaters racing on the same bloom segment must both land
     (flock around load→add→save): a lost bit turns an already-admitted
