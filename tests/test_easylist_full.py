@@ -137,6 +137,44 @@ def test_extended_grammar_semantics():
     assert hits('a[data-u^="http://x.test"]') == []  # ci only with flag
 
 
+def test_escaped_identifier_roundtrip_property():
+    """CSS-escape an arbitrary identifier, compile '#<escaped>', and
+    match a node carrying that literal id — the escape/unescape path
+    must round-trip for every char class the real lists use (hex
+    escapes consume one following space; char escapes don't)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from adscraper_spark.html.selectors import compile_selector
+
+    # printable ASCII minus quote/angle/& (HTML attr limits) and minus
+    # combinator chars only when UNescaped — we escape everything
+    # non-alphanumeric, so the full set is fair game for the selector
+    alphabet = st.sampled_from(
+        [c for c in (chr(i) for i in range(33, 127))
+         if c not in '"\'<>&'] + ["é", "·", "ß"])
+
+    def css_escape(ident: str) -> str:
+        out = []
+        for ch in ident:
+            if ch.isalnum() or ch in "-_" or ord(ch) > 127:
+                out.append(ch)
+            elif ch in ".#:[]()+~\\ !,*^$|=":
+                out.append("\\" + ch)
+            else:
+                out.append(f"\\{ord(ch):x} ")
+        return "".join(out)
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.text(alphabet=alphabet, min_size=1, max_size=12))
+    def check(ident):
+        sel = compile_selector("#" + css_escape(ident))
+        subject = sel.compounds[-1]
+        assert subject.id == ident, (ident, css_escape(ident))
+
+    check()
+
+
 def test_bundled_env_hook_round_trip(tmp_path):
     """An arbitrary file path still works through the same hook the
     BUNDLED sentinel uses."""
