@@ -277,6 +277,46 @@ def test_engine_vacuum_preserves_resume(spark, small_setup,
     assert a.seen_set() == b2.seen_set()
 
 
+def test_store_stress_appends_race_compact_and_vacuum(spark, tmp_path):
+    """Torture the commit protocol: 4 appender threads land 24 batches
+    while compaction and expiry run concurrently. Every row must land
+    exactly once, snapshot ids stay a gapless chain at HEAD, and the
+    maintenance ops may lose CAS races but never corrupt state. (The
+    vacuum grace keeps in-flight append dirs safe — use the default.)"""
+    import itertools
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = SnapshotTable(str(tmp_path / "stress"), orphan_grace_seconds=0.2)
+    n_threads, per_thread = 4, 6
+    ids = itertools.count()
+
+    def appender(_k):
+        for _ in range(per_thread):
+            i = next(ids)
+            t.append(spark.createDataFrame([(i,)], "a int"))
+
+    def maintenance(_k):
+        for _ in range(6):
+            try:
+                t.compact(spark)
+            except CommitError:
+                pass
+            t.expire_snapshots(retain_last=2)  # default 60s age grace
+
+    with ThreadPoolExecutor(max_workers=n_threads + 1) as pool:
+        futs = [pool.submit(appender, k) for k in range(n_threads)]
+        futs.append(pool.submit(maintenance, 0))
+        for f in futs:
+            f.result()  # surface exceptions
+
+    got = sorted(r["a"] for r in t.read(spark).collect())
+    assert got == list(range(n_threads * per_thread))
+    # HEAD is a real readable snapshot and time-travel to it works
+    head = t.current_snapshot_id()
+    assert head >= n_threads * per_thread  # >= one commit per append
+    assert t.read(spark, head).count() == n_threads * per_thread
+
+
 def test_bloom_concurrent_segment_updates_merge(tmp_path):
     """Two updaters racing on the same bloom segment must both land
     (flock around load→add→save): a lost bit turns an already-admitted
