@@ -169,13 +169,70 @@ ORDER BY doc_id, frame_idx
 """
 
 
+RESIZE_STRIDE = 4  # keep every 4th byte — the downsample ratio
+
+
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing: downsample the binary payload by striding
+    (every ``RESIZE_STRIDE``-th byte) in an Arrow-batched pandas UDF —
+    the exact codepath a real image resize takes (binary in, numpy
+    transform, binary out), with the pixel math faked as a byte stride.
+    Output keeps the resized payload's md5 + sizes so the oracle can
+    verify the transform content, not just shapes. (The oracle's
+    char-stride equals the byte stride because the synthetic corpus
+    text is ASCII — same precedent as media_features' ord-vs-uint8.)"""
+    media = _media_with_payload(spark, sf_dir)
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        for pdf in batches:
+            orig, resized, digests = [], [], []
+            for p in pdf["payload"]:
+                buf = bytes(p)
+                small = np.frombuffer(buf, dtype=np.uint8)[
+                    ::RESIZE_STRIDE].tobytes()
+                orig.append(len(buf))
+                resized.append(len(small))
+                digests.append(hashlib.md5(small).hexdigest())
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "orig_bytes": pd.Series(orig, dtype="int64"),
+                "resized_bytes": pd.Series(resized, dtype="int64"),
+                "resized_md5": digests,
+            })
+
+    return (media.mapInPandas(
+        resize, schema=("doc_id long, orig_bytes long, "
+                        "resized_bytes long, resized_md5 string"))
+        .orderBy("doc_id"))
+
+
+# stride-by-regex: keep the 1st char of every STRIDE-char block
+MEDIA_RESIZE_SQL = f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS orig_bytes,
+       CAST(length(regexp_replace(text, '(.)(.{{0,{RESIZE_STRIDE - 1}}})',
+                                  '\\1', 'g')) AS BIGINT)
+         AS resized_bytes,
+       md5(regexp_replace(text, '(.)(.{{0,{RESIZE_STRIDE - 1}}})',
+                          '\\1', 'g')) AS resized_md5
+FROM documents WHERE length(text) > 0
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "multimodal_ingest": multimodal_ingest,
     "media_features": media_features,
     "frame_sample": frame_sample,
+    "media_resize": media_resize,
 }
 ORACLES = {
     "multimodal_ingest": MULTIMODAL_INGEST_SQL,
     "media_features": MEDIA_FEATURES_SQL,
     "frame_sample": FRAME_SAMPLE_SQL,
+    "media_resize": MEDIA_RESIZE_SQL,
 }

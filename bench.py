@@ -32,6 +32,7 @@ HEADLINE = [
     "ann_ivf_search", "near_dup_embeddings", "near_dup_lsh",
     "sessionize",
     "multimodal_ingest", "media_features", "frame_sample",
+    "media_resize",
     "dedup_clusters", "corpus_curation", "train_test_split",
     "stratified_sample", "w2_politeness_gate",
     "x10_stack_trace_urls", "t4_url_set_merge",
