@@ -290,15 +290,14 @@ def bench_kernel(corpus_paths: dict[str, str]) -> dict:
     # then all of local[4N] would let one side sample only a noisy
     # phase and skew the ratio. Paired-in-time trials give both sides
     # the same weather; best-of-N per side damps the residue. The
-    # trial count is ADAPTIVE (3..6): best-of-N estimates the
-    # noise-free minimum wall time on both sides, so extra paired
-    # trials only sharpen the estimate — stop once the best-pair
-    # efficiency is stable (<2% change over a trial), keep sampling
-    # through noisy patches instead of recording one bad phase as the
-    # artifact (round-3 lesson: a 3-trial run landed 0.765 on a noisy
-    # box vs 0.83+ clean).
+    # Fixed 6 paired trials, NO early stop: best-of-N per side is
+    # monotone toward the true quiet-machine minimum, so extra paired
+    # trials only sharpen the ratio — an early "stability" stop can
+    # freeze two equally-depressed trials from one noisy host phase as
+    # the artifact (observed: a 3-trial stop recorded 0.77-0.79 where
+    # the 6-trial estimate on the same box lands 0.85-0.89). The ~4
+    # extra minutes buy the criterion's evidence quality.
     dts = {KERNEL_LOW: None, KERNEL_HIGH: None}
-    prev_eff = None
     for trial in range(6):
         for cpus in (KERNEL_LOW, KERNEL_HIGH):
             spark = _session(cpus)
@@ -310,12 +309,6 @@ def bench_kernel(corpus_paths: dict[str, str]) -> dict:
             dts[cpus] = min(dts[cpus] or 1e9, dt)
             spark.stop()
             time.sleep(2)  # let the stopped JVM's disk flush settle
-        eff = (dts[KERNEL_LOW] / dts[KERNEL_HIGH]) / (KERNEL_HIGH
-                                                      / KERNEL_LOW)
-        if (trial >= 2 and prev_eff is not None
-                and abs(eff - prev_eff) < 0.02):
-            break
-        prev_eff = eff
     out = {}
     for cpus in (KERNEL_LOW, KERNEL_HIGH):
         out[f"local[{cpus}]"] = {
