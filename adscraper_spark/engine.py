@@ -438,13 +438,7 @@ class CrawlEngine:
                 })
 
         df = seeds_df.mapInPandas(norm, schema=ADMITTED_SCHEMA)
-        # first occurrence wins (reference Set semantics): min-seq row
-        rest = [c for c in ADMITTED_COLS if c != "url"]
-        df = (df.groupBy("url")
-              .agg(F.min(F.struct("seq", *[c for c in rest
-                                           if c != "seq"])).alias("m"))
-              .select("url", *[F.col(f"m.{c}").alias(c) for c in rest]))
-        return self._append_admissions(df, wave)
+        return self._append_admissions(self._first_occurrence(df), wave)
 
     def _append_admissions(self, df: DataFrame, wave: int) -> int:
         """Shared admit tail: anti-join the admitted log, robots gate,
@@ -456,12 +450,7 @@ class CrawlEngine:
         as duplicates."""
         if self._window_stats or os.path.exists(self._window_marker):
             return self._stage_late_seeds(df)
-        existing = self.admitted.read(self.spark)
-        if existing is not None:
-            df = df.join(existing.select("url"), "url", "left_anti")
-        df = (self._with_robots_txt(df)
-              .mapInPandas(_seed_state_batches, schema=ADMITTED_SCHEMA)
-              .select(*ADMITTED_COLS).cache())
+        df = self._gated_admissions(df).cache()
         n_new = df.count()
         if not n_new:
             df.unpersist()
@@ -488,6 +477,30 @@ class CrawlEngine:
             json.dump(manifest, f)
         os.rename(tmp, self._manifest_path(last))
         return n_new
+
+    # ------------------------------------------------------------------
+    # shared admission semantics (ONE definition — the direct-fold,
+    # staging-drain, and streamed paths must never diverge)
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _first_occurrence(df: DataFrame) -> DataFrame:
+        """First occurrence wins per url = min-seq row (reference Set
+        semantics, crawler.ts:191-200)."""
+        rest = [c for c in ADMITTED_COLS if c != "url"]
+        return (df.groupBy("url")
+                .agg(F.min(F.struct("seq", *[c for c in rest
+                                             if c != "seq"])).alias("m"))
+                .select("url", *[F.col(f"m.{c}").alias(c) for c in rest]))
+
+    def _gated_admissions(self, df: DataFrame) -> DataFrame:
+        """The admit gate: anti-join the admitted log, then the
+        distributed robots state pass. Caller caches/counts/appends."""
+        existing = self.admitted.read(self.spark)
+        if existing is not None:
+            df = df.join(existing.select("url"), "url", "left_anti")
+        return (self._with_robots_txt(df)
+                .mapInPandas(_seed_state_batches, schema=ADMITTED_SCHEMA)
+                .select(*ADMITTED_COLS))
 
     # ------------------------------------------------------------------
     # mid-window streamed intake: stage durably, drain at wave boundary
@@ -525,28 +538,20 @@ class CrawlEngine:
         anti-joined against the (rolled-back) admitted log, so a replay
         re-admits exactly the rows the crash un-did."""
         cur = self.late_seeds.current_snapshot_id()
-        pinned = self._late_drained_pin()
-        if cur <= pinned:
+        # incremental base: the manifest pin, advanced past batches this
+        # process already drained inside the open window (an earlier
+        # wave drained them but no manifest has pinned that yet —
+        # re-reading them would cost a full redundant admit pass per
+        # wave; crash-safe because rollback resets _last_drained_id)
+        base = max(self._late_drained_pin(), self._last_drained_id or 0)
+        if cur <= base:
             return 0
-        staged = self.late_seeds.read_since(self.spark, pinned)
+        staged = self.late_seeds.read_since(self.spark, base)
         if staged is None:
             self._last_drained_id = cur
             return 0
-        # first occurrence wins across batches (same min-seq rule as
-        # admit_seeds_df), then the standard admit tail
-        rest = [c for c in ADMITTED_COLS if c != "url"]
-        staged = (staged.groupBy("url")
-                  .agg(F.min(F.struct("seq", *[c for c in rest
-                                               if c != "seq"])).alias("m"))
-                  .select("url", *[F.col(f"m.{c}").alias(c)
-                                   for c in rest]))
-        existing = self.admitted.read(self.spark)
-        if existing is not None:
-            staged = staged.join(existing.select("url"), "url",
-                                 "left_anti")
-        staged = (self._with_robots_txt(staged)
-                  .mapInPandas(_seed_state_batches, schema=ADMITTED_SCHEMA)
-                  .select(*ADMITTED_COLS).cache())
+        staged = self._gated_admissions(
+            self._first_occurrence(staged)).cache()
         n = int(staged.count())
         if n:
             self.admitted.append(staged)
@@ -677,6 +682,15 @@ class CrawlEngine:
         cfg = self.config
         spark = self.spark
 
+        if not commit and not os.path.exists(self._window_marker):
+            # Publish the open window BEFORE any table append: a
+            # separate intake process must see it from this wave's very
+            # first uncommitted write, or its direct-fold would pin
+            # this wave's half-committed admissions into the previous
+            # manifest (the hazard the staging path exists to prevent).
+            with open(self._window_marker, "w") as f:
+                f.write(str(wave))
+
         # fold any staged mid-window seed batches into the frontier at
         # this wave boundary (no-op when nothing staged)
         n_late = self._drain_late_seeds(wave)
@@ -706,8 +720,24 @@ class CrawlEngine:
         _tick(f"plan ({n_planned})")
         if n_planned == 0:
             planned.unpersist()
-            return ({"planned": 0, "late_seeds": n_late} if n_late
-                    else {"planned": 0})
+            if n_late:
+                # The drain advanced the admitted log — pin it durably
+                # even though no wave work follows, or the unpinned
+                # append rolls back on every later run() and the batch
+                # re-drains forever (its stats never landing in any
+                # manifest, drifting the max_urls accounting).
+                stats = {"planned": 0, "late_seeds": n_late}
+                self._commit_wave(wave, stats)
+                return stats
+            if not self._window_stats:
+                # nothing uncommitted happened this wave — retract the
+                # marker written at wave start so intake processes
+                # return to the direct-fold path
+                try:
+                    os.remove(self._window_marker)
+                except FileNotFoundError:
+                    pass
+            return {"planned": 0}
 
         # Corpus scan for this wave: pruned to the wave's bucket dirs
         # when the corpus is bucketed (scan ∝ wave spread, not corpus
@@ -1040,9 +1070,8 @@ class CrawlEngine:
         if commit:
             self._commit_wave(wave, stats)
         else:
-            if not self._window_stats:  # window opens: publish durably
-                with open(self._window_marker, "w") as f:
-                    f.write(str(wave))
+            # (the durable window-open marker was published at wave
+            #  start, before the first table append)
             self._window_stats.append((wave, stats))
         planned.unpersist()
         fetched.unpersist()

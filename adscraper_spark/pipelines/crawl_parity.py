@@ -42,11 +42,14 @@ def _e2e_engine(spark: SparkSession):
 
     # Key by applicationId AND hold the session: id(spark) alone can be
     # reused by a NEW session after the old one is garbage-collected,
-    # handing back an engine bound to a stopped SparkContext.
+    # handing back an engine bound to a stopped SparkContext. The cache
+    # is SINGLE-entry (cleared on a new session) so stopped sessions
+    # and their engines are not pinned for the process lifetime.
     key = spark.sparkContext.applicationId
     hit = _E2E_CACHE.get(key)
     if hit is not None and hit[0] is spark:
         return hit[1]
+    _E2E_CACHE.clear()
     p = ensure_oracle_artifacts()
     work = tempfile.mkdtemp(prefix="adscraper_spark_e2e_")
     eng = CrawlEngine(spark, p["pages"], p["robots"], work,

@@ -181,7 +181,8 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify the transform content, not just shapes. (The oracle's
     char-stride equals the byte stride because the synthetic corpus
     text is ASCII — same precedent as media_features' ord-vs-uint8.)"""
-    media = _media_with_payload(spark, sf_dir)
+    media = _media_with_payload(spark, sf_dir).filter(
+        F.length("payload") > 0)  # mirror the oracle's length(text)>0
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -210,14 +211,17 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id"))
 
 
-# stride-by-regex: keep the 1st char of every STRIDE-char block
+# stride-by-regex: keep the 1st char of every STRIDE-char block.
+# (?s) makes '.' match newlines — without it a \n in the text would be
+# skipped by the match, de-aligning the blocks vs the byte stride.
 MEDIA_RESIZE_SQL = f"""
 SELECT doc_id,
        CAST(length(text) AS BIGINT) AS orig_bytes,
-       CAST(length(regexp_replace(text, '(.)(.{{0,{RESIZE_STRIDE - 1}}})',
+       CAST(length(regexp_replace(text,
+                                  '(?s)(.)(.{{0,{RESIZE_STRIDE - 1}}})',
                                   '\\1', 'g')) AS BIGINT)
          AS resized_bytes,
-       md5(regexp_replace(text, '(.)(.{{0,{RESIZE_STRIDE - 1}}})',
+       md5(regexp_replace(text, '(?s)(.)(.{{0,{RESIZE_STRIDE - 1}}})',
                           '\\1', 'g')) AS resized_md5
 FROM documents WHERE length(text) > 0
 ORDER BY doc_id

@@ -225,7 +225,10 @@ def f6_keyword_filter_with_fallback(spark: SparkSession,
     # (same pattern as analysis.find_pages_with_ads) — keep rows where
     # the keyword hit, or where nothing in the table hit (fallback).
     flagged = doc.select("doc_id", "lang", pred.alias("kw"))
-    any_kw = flagged.agg(F.max("kw").alias("has_kw"))
+    # coalesce: an all-NULL text column must take the fallback (keep
+    # everything), not filter(~NULL | NULL) == drop everything
+    any_kw = flagged.agg(
+        F.coalesce(F.max("kw"), F.lit(False)).alias("has_kw"))
     return (flagged.crossJoin(F.broadcast(any_kw))
             .filter(~F.col("has_kw") | F.col("kw"))
             .select("doc_id", "lang").orderBy("doc_id"))

@@ -135,6 +135,42 @@ def test_admit_seeds_mid_window_stages_then_drains(
         eng2.late_seeds.current_snapshot_id()
 
 
+def test_late_drain_on_terminal_wave_is_pinned(
+        spark, small, tmp_path_factory):
+    """A staged batch drained by a wave that then plans NOTHING (e.g.
+    invalid-only URLs on an exhausted frontier) must still get a
+    durable manifest: without it the admitted append is unpinned, rolls
+    back on every later run(), and re-drains forever while its stats
+    never land anywhere."""
+    import json
+    import os
+
+    spec, paths = small
+    cfg = CrawlConfig(wave_seconds=10, default_budget=3, max_waves=6,
+                      max_depth=0, checkpoint_every=3)
+    work = str(tmp_path_factory.mktemp("wterm"))
+    eng = CrawlEngine(spark, paths["pages"], paths["robots"], work, cfg)
+    eng.bootstrap([(0, spec.page_url(0, 0))])
+    eng.run_wave(1, commit=False)           # window opens; seed fetched
+    assert eng.admit_seeds([(9, "::not-a-url::")]) == 1  # staged
+    stats = eng.run_wave(2, commit=False)   # drain + nothing to plan
+    assert stats == {"planned": 0, "late_seeds": 1}
+    # the drain got a durable manifest despite commit=False
+    assert eng.last_committed_wave() == 2
+    with open(eng._manifest_path(2)) as f:
+        m = json.load(f)
+    assert m["late_seeds_drained"] == eng.late_seeds.current_snapshot_id()
+    assert m["stats"]["late_seeds"] == 1
+    assert not os.path.exists(eng._window_marker)
+    n_admitted = eng.admitted.read(spark).count()
+    # a fresh engine neither loses the row nor re-drains a duplicate
+    eng2 = CrawlEngine(spark, paths["pages"], paths["robots"], work, cfg)
+    eng2.run()
+    assert eng2.admitted.read(spark).count() == n_admitted
+    adm = eng2.admitted.read(spark)
+    assert adm.filter(adm.url == "::not-a-url::").count() == 1
+
+
 def test_cross_process_intake_sees_window_marker(
         spark, small, tmp_path_factory):
     """A SEPARATE intake process (second engine instance on the same
