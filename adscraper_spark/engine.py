@@ -583,8 +583,14 @@ class CrawlEngine:
             out[name] = table.expire_snapshots(
                 retain_ids={pins.get(name, 0)}, retain_last=retain_last,
                 min_age_seconds=min_age_seconds)
+        # retain BOTH drain bases: the manifest pin (crash-replay reads
+        # from it) and this process's in-memory advance (the next
+        # mid-window drain reads incrementally from it — expiring its
+        # manifest would crash read_since before the next commit
+        # publishes it as the pin)
         out["late_seeds"] = self.late_seeds.expire_snapshots(
-            retain_ids={self._late_drained_pin()},
+            retain_ids={self._late_drained_pin(),
+                        self._last_drained_id or 0},
             retain_last=retain_last, min_age_seconds=min_age_seconds)
         return out
 

@@ -317,6 +317,36 @@ def test_store_stress_appends_race_compact_and_vacuum(spark, tmp_path):
     assert t.read(spark, head).count() == n_threads * per_thread
 
 
+def test_vacuum_mid_window_keeps_incremental_drain_base(
+        spark, small_setup, tmp_path_factory):
+    """vacuum during an open checkpoint window must retain the
+    in-memory drain base's snapshot: the next mid-window drain reads
+    incrementally from it, and only a later commit publishes it as the
+    manifest pin. Expiring it would crash read_since."""
+    import dataclasses
+
+    spec, paths, cfg, seeds = small_setup
+    cfg = dataclasses.replace(cfg, checkpoint_every=4, max_waves=6)
+    work = str(tmp_path_factory.mktemp("vacwin"))
+    eng = CrawlEngine(spark, paths["pages"], paths["robots"], work, cfg)
+    eng.bootstrap(seeds)
+    eng.run_wave(1, commit=False)              # window opens
+    eng.admit_seeds([(90, spec.page_url(0, 9))])   # staged: snap 1
+    eng.run_wave(2, commit=False)              # drains snap 1
+    assert eng._last_drained_id == 1
+    eng.admit_seeds([(91, spec.page_url(0, 10))])  # staged: snap 2
+    eng.admit_seeds([(92, spec.page_url(0, 11))])  # staged: snap 3
+    eng.vacuum(retain_last=1, min_age_seconds=0.0)
+    # the in-memory drain base survived the expiry...
+    assert 1 in eng.late_seeds.snapshots()
+    # ...so the next mid-window drain still works incrementally
+    stats = eng.run_wave(3, commit=False)
+    assert stats.get("late_seeds") == 2
+    adm = eng.admitted.read(spark)
+    for j in (9, 10, 11):
+        assert adm.filter(adm.url == spec.page_url(0, j)).count() == 1
+
+
 def test_bloom_concurrent_segment_updates_merge(tmp_path):
     """Two updaters racing on the same bloom segment must both land
     (flock around load→add→save): a lost bit turns an already-admitted
