@@ -520,7 +520,12 @@ FROM r GROUP BY host, win ORDER BY host, win
 QUERIES = {
     "sessionize": sessionize,
     "w2_politeness_gate": w2_politeness_gate,
-    "t1_word_set_union": t1_word_set_union,
+    # t1_word_set_union is intentionally NOT exported: the driver checks
+    # at most 50 queries, and T1 (selector-match set union,
+    # ad-detection.ts:14-21) is already oracled by extraction_udf_demo
+    # and proven at the full 13,967-selector list in
+    # tests/test_easylist_full.py.  The relational analog stays
+    # parity-tested locally in tests/test_consolidated_queries.py.
     "a5_array_max": a5_array_max,
     "q1_pricing_summary": q1_pricing_summary,
     "j1_region_revenue": j1_region_revenue,
@@ -537,7 +542,6 @@ QUERIES = {
 ORACLES = {
     "sessionize": SESSIONIZE_SQL,
     "w2_politeness_gate": W2_GATE_SQL,
-    "t1_word_set_union": T1_SQL,
     "a5_array_max": A5_SQL,
     "q1_pricing_summary": Q1_SQL,
     "j1_region_revenue": J1_SQL,

@@ -1,0 +1,59 @@
+"""Parity tests for the two queries consolidated OUT of the driver's
+queries() dict (the correctness harness caps at 50 rows; these are
+compositions/analogs of already-oracled entries).  They keep the exact
+rows/schema/values bar here instead:
+
+- find_articles_rss_first — the reference's full findArticle order
+  (find-page.ts:98-121 + getRssArticle): RSS short-circuit with the
+  guess path as fallback.
+- t1_word_set_union — the relational analog of T1 selector-set union
+  (ad-detection.ts:14-21); the real selector engine is driver-oracled
+  via extraction_udf_demo and list-scale-tested in test_easylist_full.
+"""
+
+import duckdb
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    return con
+
+
+def _check(sdf, ddf):
+    s = sdf.reindex(sorted(sdf.columns), axis=1)
+    d = ddf.reindex(sorted(ddf.columns), axis=1)
+    assert list(s.columns) == list(d.columns)
+    assert len(s) == len(d)
+    s = s.sort_values(by=list(s.columns)).reset_index(drop=True)
+    d = d.sort_values(by=list(d.columns)).reset_index(drop=True)
+    for c in s.columns:
+        if s[c].dtype.kind == "f" or d[c].dtype.kind == "f":
+            assert s[c].dtype.kind == d[c].dtype.kind, c
+            assert np.allclose(s[c].astype(float), d[c].astype(float),
+                               rtol=0, atol=1e-9, equal_nan=True), c
+        else:
+            assert (s[c].astype(str) == d[c].astype(str)).all(), c
+
+
+def test_find_articles_rss_first_matches_oracle(spark, duck):
+    from adscraper_spark.pipelines.crawl_parity import (
+        _find_articles_rss_first_sql, find_articles_rss_first_q)
+
+    sdf = find_articles_rss_first_q(spark, SF).toPandas()
+    ddf = duck.sql(_find_articles_rss_first_sql()).df()
+    _check(sdf, ddf)
+
+
+def test_t1_word_set_union_matches_oracle(spark, duck):
+    from adscraper_spark.pipelines.relational import (T1_SQL,
+                                                      t1_word_set_union)
+
+    sdf = t1_word_set_union(spark, SF).toPandas()
+    ddf = duck.sql(T1_SQL).df()
+    _check(sdf, ddf)
