@@ -35,6 +35,8 @@ exchange).
 
 from __future__ import annotations
 
+import contextlib
+import fcntl
 import json
 import os
 from collections.abc import Iterator
@@ -186,6 +188,9 @@ class CrawlEngine:
         # this process's open window (the in-memory _window_stats can't
         # cross processes) and take the staging path too.
         self._window_marker = os.path.join(workdir, "window-open.marker")
+        # Mutex serializing marker transitions against the intake
+        # direct-fold (see _marker_mutex).
+        self._window_lock = os.path.join(workdir, "window-open.lock")
         self._tables = {
             "admitted": self.admitted, "processed": self.processed,
             "results": self.results, "ads": self.ads,
@@ -296,23 +301,57 @@ class CrawlEngine:
         return sum(self._stats_frontier_rows(s)
                    for _w, s in self._wave_stats_iter())
 
+    @contextlib.contextmanager
+    def _marker_mutex(self):
+        """flock serializing window-open marker transitions against the
+        intake direct-fold across PROCESSES. The marker alone has a
+        TOCTOU hole: an intake process checks it, runs multi-second
+        Spark gating jobs, then appends+folds — if a wave opened its
+        window inside that gap, the fold would pin the wave's
+        uncommitted admitted append into the previous manifest (crash
+        rollback then replays it as duplicates). Holding this lock
+        across {marker write} on the wave side and {re-check → append →
+        fold} on the intake side closes the gap. On a real cluster this
+        single-node lock is replaced by the Iceberg catalog's atomic
+        swap / a coordination service — every call site goes through
+        this helper so the swap is mechanical."""
+        fd = os.open(self._window_lock, os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
+
     def _rollback_to_last_commit(self) -> int:
         self._window_stats = []
         self._last_drained_id = None
-        try:  # a crash with an open window leaves a stale marker
-            os.remove(self._window_marker)
-        except FileNotFoundError:
-            pass
-        wave = self.last_committed_wave()
-        if wave < 0:
-            for t in self._tables.values():
-                t.reset_to(0)
-            return -1
-        with open(self._manifest_path(wave)) as f:
-            manifest = json.load(f)
-        for name, table in self._tables.items():
-            table.reset_to(manifest["snapshots"].get(name, 0))
-        return wave
+        # Hold the window-open marker for the WHOLE rollback: if it
+        # vanished before the reset_to calls, a concurrent intake
+        # process would see no marker, direct-fold an admission
+        # (reporting it durably admitted), and the reset would wipe its
+        # append — silent seed loss. With the marker up, intake stages
+        # to late_seeds, which rollback never resets.
+        with self._marker_mutex():
+            if not os.path.exists(self._window_marker):
+                with open(self._window_marker, "w") as f:
+                    f.write("rollback")
+        try:
+            wave = self.last_committed_wave()
+            if wave < 0:
+                for t in self._tables.values():
+                    t.reset_to(0)
+                return -1
+            with open(self._manifest_path(wave)) as f:
+                manifest = json.load(f)
+            for name, table in self._tables.items():
+                table.reset_to(manifest["snapshots"].get(name, 0))
+            return wave
+        finally:
+            try:  # window (or stale crash marker) closed by the reset
+                os.remove(self._window_marker)
+            except FileNotFoundError:
+                pass
 
     # ------------------------------------------------------------------
     # bootstrap (wave 0 admission = the crawl list, S1/F1/F2)
@@ -450,32 +489,52 @@ class CrawlEngine:
         as duplicates."""
         if self._window_stats or os.path.exists(self._window_marker):
             return self._stage_late_seeds(df)
-        df = self._gated_admissions(df).cache()
-        n_new = df.count()
+        gated = self._gated_admissions(df).cache()
+        n_new = gated.count()
         if not n_new:
-            df.unpersist()
+            gated.unpersist()
             return 0
-        self.admitted.append(df)
-        self._update_bloom_distributed(df, wave)
-        df.unpersist()
-        # Fold ONLY the admitted-log advance into the latest manifest.
-        # Re-snapshotting every table here would pin half-committed
-        # appends from a concurrently-running wave (rollback would then
-        # replay them as duplicates); the other tables keep the ids the
-        # wave commit published.
-        last = self.last_committed_wave()
-        with open(self._manifest_path(last)) as f:
-            manifest = json.load(f)
-        manifest["snapshots"]["admitted"] = \
-            self.admitted.current_snapshot_id()
-        stats = manifest.get("stats", {})
-        stats["late_seeds"] = stats.get("late_seeds", 0) + n_new
-        manifest["stats"] = stats
-        manifest.setdefault("window", {})[str(manifest["wave"])] = stats
-        tmp = self._manifest_path(last) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.rename(tmp, self._manifest_path(last))
+        diverted = False
+        with self._marker_mutex():
+            # Re-check under the lock: the gating jobs above ran for
+            # seconds, and a wave may have opened its window meanwhile
+            # — folding now would pin that wave's uncommitted admitted
+            # append (replayed as duplicates after a crash rollback).
+            # The wave's own marker write takes this same mutex, so
+            # inside the block the marker state is authoritative.
+            if self._window_stats or os.path.exists(self._window_marker):
+                diverted = True
+            else:
+                sid = self.admitted.append(gated)
+                # Fold ONLY the admitted-log advance into the latest
+                # manifest, pinning the snapshot id THIS append
+                # returned — re-reading HEAD could capture a later
+                # concurrent append that is not manifest-covered.
+                # max(): a concurrent intake's fold must never regress
+                # (appends are cumulative, so a later sid includes an
+                # earlier one's files).
+                last = self.last_committed_wave()
+                with open(self._manifest_path(last)) as f:
+                    manifest = json.load(f)
+                manifest["snapshots"]["admitted"] = max(
+                    manifest["snapshots"].get("admitted", 0), sid)
+                stats = manifest.get("stats", {})
+                stats["late_seeds"] = stats.get("late_seeds", 0) + n_new
+                manifest["stats"] = stats
+                manifest.setdefault("window",
+                                    {})[str(manifest["wave"])] = stats
+                tmp = self._manifest_path(last) + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(manifest, f)
+                os.rename(tmp, self._manifest_path(last))
+        if diverted:
+            gated.unpersist()
+            # stage the PRE-gate batch: the drain re-applies the same
+            # gate (Spark work outside the lock — a wave's marker write
+            # must not wait on a staging write)
+            return self._stage_late_seeds(df)
+        self._update_bloom_distributed(gated, wave)
+        gated.unpersist()
         return n_new
 
     # ------------------------------------------------------------------
@@ -694,8 +753,12 @@ class CrawlEngine:
             # first uncommitted write, or its direct-fold would pin
             # this wave's half-committed admissions into the previous
             # manifest (the hazard the staging path exists to prevent).
-            with open(self._window_marker, "w") as f:
-                f.write(str(wave))
+            # Under the mutex so an in-flight direct-fold (which
+            # re-checks the marker under the same lock) either
+            # completes before the window opens or diverts to staging.
+            with self._marker_mutex():
+                with open(self._window_marker, "w") as f:
+                    f.write(str(wave))
 
         # fold any staged mid-window seed batches into the frontier at
         # this wave boundary (no-op when nothing staged)

@@ -46,6 +46,17 @@ class CommitError(RuntimeError):
 ORPHAN_GRACE_SECONDS = float(
     os.environ.get("ADSCRAPER_SPARK_ORPHAN_GRACE", "1.0"))
 
+# Vacuum retention defaults (expire_snapshots), overridable per-table
+# like the orphan grace. Storage-profile guidance mirrors
+# ORPHAN_GRACE_SECONDS: 60s is generous on local disk; on an object
+# store with slow/cached metadata, raise MIN_AGE to several minutes —
+# the mtime the guard reads may lag the actual write there, so the
+# grace must cover that skew too.
+VACUUM_MIN_AGE_SECONDS = float(
+    os.environ.get("ADSCRAPER_SPARK_VACUUM_MIN_AGE", "60.0"))
+VACUUM_RETAIN_LAST = int(
+    os.environ.get("ADSCRAPER_SPARK_VACUUM_RETAIN_LAST", "1"))
+
 
 @dataclass
 class Snapshot:
@@ -61,7 +72,9 @@ class Snapshot:
 class SnapshotTable:
     def __init__(self, path: str, bucket_col: str | None = None,
                  num_buckets: int = 32,
-                 orphan_grace_seconds: float | None = None):
+                 orphan_grace_seconds: float | None = None,
+                 vacuum_min_age_seconds: float | None = None,
+                 vacuum_retain_last: int | None = None):
         """``bucket_col``: hash-bucket every data write by this column
         (Iceberg ``bucket(N, col)`` partition-transform analog). The
         frontier logs bucket by ``url`` so the layout is stable and
@@ -75,6 +88,12 @@ class SnapshotTable:
         self.orphan_grace_seconds = (
             ORPHAN_GRACE_SECONDS if orphan_grace_seconds is None
             else orphan_grace_seconds)
+        self.vacuum_min_age_seconds = (
+            VACUUM_MIN_AGE_SECONDS if vacuum_min_age_seconds is None
+            else vacuum_min_age_seconds)
+        self.vacuum_retain_last = (
+            VACUUM_RETAIN_LAST if vacuum_retain_last is None
+            else vacuum_retain_last)
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
         os.makedirs(os.path.join(path, "meta"), exist_ok=True)
 
@@ -268,8 +287,8 @@ class SnapshotTable:
         return spark.read.parquet(*snap.files)
 
     def expire_snapshots(self, retain_ids: set[int] | None = None,
-                         retain_last: int = 1,
-                         min_age_seconds: float = 60.0) -> dict:
+                         retain_last: int | None = None,
+                         min_age_seconds: float | None = None) -> dict:
         """Iceberg ``expire_snapshots`` analog: drop manifest JSONs that
         are neither HEAD, recent (``retain_last``), explicitly pinned
         (``retain_ids`` — the engine passes wave-manifest pins), nor
@@ -279,31 +298,51 @@ class SnapshotTable:
         compaction/overwrite predecessor forever — at 10^10-frontier
         scale that is the dominant storage cost.
 
-        ``min_age_seconds`` guards concurrent appenders: a data dir
-        younger than the grace may belong to an append whose CAS has
-        not landed yet, so it is never deleted (Iceberg's
-        orphan-file-removal retention interval analog)."""
+        ``min_age_seconds`` guards concurrent readers AND appenders: a
+        data dir younger than the grace may belong to an append whose
+        CAS has not landed yet, and a manifest younger than the grace
+        may be held by a reader in another process between pinning its
+        id (explicit ``read(snapshot_id=...)`` / a ``read_since`` base)
+        and opening it — both are spared (Iceberg's
+        orphan-file-removal retention interval analog). Defaults come
+        from the table (``vacuum_retain_last``/``vacuum_min_age_seconds``,
+        env ``ADSCRAPER_SPARK_VACUUM_RETAIN_LAST``/``..._VACUUM_MIN_AGE``).
+        """
         import shutil
 
+        if retain_last is None:
+            retain_last = self.vacuum_retain_last
+        if min_age_seconds is None:
+            min_age_seconds = self.vacuum_min_age_seconds
+        now = time.time()
         head = self.current_snapshot_id()
         all_ids = self.snapshots()
         keep = {head} | {i for i in (retain_ids or ()) if i}
         if retain_last:
             keep.update(all_ids[-retain_last:])
         keep.update(i for i in all_ids if i > head)
-        live_files: set[str] = set()
-        for sid in keep:
-            if sid in all_ids:
-                live_files.update(self.snapshot(sid).files)
         removed_snapshots = []
+        spared_by_age: list[int] = []
         for sid in all_ids:
-            if sid not in keep:
-                os.remove(os.path.join(self.path, "meta",
-                                       f"snap-{sid}.json"))
-                removed_snapshots.append(sid)
+            if sid in keep:
+                continue
+            p = os.path.join(self.path, "meta", f"snap-{sid}.json")
+            try:
+                if now - os.path.getmtime(p) < min_age_seconds:
+                    # a concurrent reader may hold this id between its
+                    # pin and the snapshot() open — too fresh to drop
+                    spared_by_age.append(sid)
+                    continue
+                os.remove(p)
+            except OSError:
+                continue
+            removed_snapshots.append(sid)
+        live_files: set[str] = set()
+        for sid in list(keep) + spared_by_age:
+            if sid in all_ids and sid not in removed_snapshots:
+                live_files.update(self.snapshot(sid).files)
         removed_dirs = 0
         data_root = os.path.join(self.path, "data")
-        now = time.time()
         for name in os.listdir(data_root):
             p = os.path.join(data_root, name)
             if p in live_files:
