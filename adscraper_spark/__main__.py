@@ -68,11 +68,16 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="second results row (reload=1) per main page "
                         "(crawler.ts:341-358 refresh-and-rescrape)")
     c.add_argument("--full-easylists", action="store_true",
-                   help="detect with the vendored REAL EasyList "
+                   help="(now the default, kept for compatibility) "
+                        "detect with the vendored REAL EasyList "
                         "snapshots (13,967 ad + 17,280 cookie "
-                        "selectors, html/data/PROVENANCE.md) instead "
-                        "of the pinned subset — the reference's "
-                        "checked-in lists (ad-detection.ts:14-21)")
+                        "selectors, html/data/PROVENANCE.md) — the "
+                        "reference's checked-in lists "
+                        "(ad-detection.ts:14-21)")
+    c.add_argument("--pinned-subset", action="store_true",
+                   help="fast tier: detect with only the 81-selector "
+                        "pinned subset instead of the real EasyList "
+                        "snapshots (micro-tests/benchmarks)")
     c.add_argument("--cpus", type=int, default=None)
     g = sub.add_parser("gen-corpus", help="write a synthetic corpus")
     g.add_argument("--out", required=True)
@@ -157,12 +162,16 @@ def main(argv: list[str] | None = None) -> int:
         read_ad_crawl_list_csv, read_crawl_list_text, single_url_seed,
     )
 
-    if args.full_easylists:
+    if args.pinned_subset:
         # must precede the SparkSession: extraction workers inherit the
-        # env the JVM is launched with (easylist.enable_full_lists doc)
+        # env the JVM is launched with (easylist.disable_full_lists doc)
         from .html import easylist
 
-        easylist.enable_full_lists()
+        easylist.disable_full_lists()
+    elif args.full_easylists:
+        from .html import easylist
+
+        easylist.enable_full_lists()  # the default; kept for compat
     spark = build_session(cpus=args.cpus)
     cfg = CrawlConfig(max_waves=args.max_waves, max_depth=args.max_depth,
                       wave_seconds=args.wave_seconds,

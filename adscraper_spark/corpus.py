@@ -203,6 +203,19 @@ def gen_html(spec: CorpusSpec, h: int, j: int) -> bytes:
     n_ads = stable_hash64(k + "|nads", spec.seed) % 4  # 0..3 (FIXTURES §1b)
     for a in range(n_ads):
         parts.append(_ad_block(spec, h, j, a))
+    # Full-list-only markup: these ids exist in the vendored REAL
+    # EasyList snapshots but NOT in the pinned subset, so the default
+    # (full-list) detection surface is load-bearing in every oracle —
+    # a regression to the subset changes n_ads/text and fails the
+    # rows/hash compare, instead of passing vacuously.
+    if stable_unit(k + "|fullad", spec.seed) < 0.15:
+        adhost = f"https://ads.partner-{stable_hash64(k, spec.seed) % 9}.test"
+        parts.append(f'<div id="AC_ad">'
+                     f'<a href="{adhost}/fx/{h}/{j}">'
+                     f"{_words(k + '|fulltxt', spec.seed, 4)}</a></div>")
+    if stable_unit(k + "|fullck", spec.seed) < 0.1:
+        parts.append('<div id="ACCETTA_COOKIES">Questo sito usa cookie.'
+                     "</div>")
     if stable_unit(k + "|ent", spec.seed) < 0.2:  # entity/BOM adversarial
         parts.append("<p>caf&eacute;&nbsp;beats &amp; bytes &#8212; "
                      "&#x2603; snow</p>")

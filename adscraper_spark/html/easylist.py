@@ -11,12 +11,19 @@ this pinned list, exactly as the reference's behavior is defined by its
 checked-in snapshot. Swapping in a full EasyList snapshot is a data-file
 change, not a code change (`load_extra_selectors`).
 
-The REAL EasyList snapshots are now vendored too (data/, see
+The REAL EasyList snapshots are vendored too (data/, see
 data/PROVENANCE.md — public EasyList-derived data, 13,967 ad + 17,280
 cookie selectors, the same lists whose counts define the reference's
-detection behavior at ad-detection.ts:14-21). They are off by default
-(oracle artifacts + the synthetic corpus are pinned to the subset);
-`enable_full_lists()` or the CLI `--full-easylists` flag turns them on.
+detection behavior at ad-detection.ts:14-21). They are the DEFAULT
+detection surface: every index build unions the pinned subset with the
+bundled snapshots unless ``ADSCRAPER_SPARK_PINNED_SUBSET=1`` (or
+``disable_full_lists()`` / the CLI ``--pinned-subset`` flag) opts into
+the subset-only fast tier. Defaulting ON (instead of an opt-in env
+var) is what makes the full lists reach Spark extraction WORKERS
+unconditionally — worker processes rebuild the index from the module
+defaults, with no env propagation required. The opt-OUT env var has
+the usual caveat: set it before the SparkSession is built or workers
+keep the full-list default.
 
 Selector strings below are generic EasyList-style community patterns
 (public list conventions), not copied file content.
@@ -127,36 +134,50 @@ def bundled_full_lists() -> tuple[list[str], list[str]]:
             _read_bundled(_BUNDLED_FILES[_EXTRA_COOKIES_ENV]))
 
 
-def enable_full_lists() -> None:
-    """Point the extra-selector hook at the vendored real EasyList
-    snapshots and drop the cached indexes so the next build sees them.
-    Process-wide (the indexes are process-level caches by design — the
-    reference likewise loads its lists once per crawler process).
+_SUBSET_ONLY_ENV = "ADSCRAPER_SPARK_PINNED_SUBSET"
 
-    Spark caveat: extraction workers rebuild the index from these env
-    vars in their own processes, which inherit the env the JVM was
-    LAUNCHED with — call this BEFORE building the SparkSession (the CLI
-    --full-easylists flag does) or the workers keep the pinned subset.
-    """
-    os.environ[_EXTRA_ADS_ENV] = BUNDLED
-    os.environ[_EXTRA_COOKIES_ENV] = BUNDLED
+
+def full_lists_enabled() -> bool:
+    """True (the default) = the vendored real EasyList snapshots are
+    the detection surface, matching the reference loading its full
+    checked-in lists (ad-detection.ts:14-21). The 81-selector pinned
+    subset remains as an opt-in fast tier for micro-tests."""
+    return not os.environ.get(_SUBSET_ONLY_ENV)
+
+
+def enable_full_lists() -> None:
+    """Restore the default (real EasyList snapshots) and drop the
+    cached indexes so the next build sees them. Process-wide (the
+    indexes are process-level caches by design — the reference
+    likewise loads its lists once per crawler process)."""
+    os.environ.pop(_SUBSET_ONLY_ENV, None)
     ad_selector_index.cache_clear()
     cookie_selector_index.cache_clear()
 
 
 def disable_full_lists() -> None:
-    os.environ.pop(_EXTRA_ADS_ENV, None)
-    os.environ.pop(_EXTRA_COOKIES_ENV, None)
+    """Opt into the pinned-subset fast tier (tests/micro-benches).
+
+    Spark caveat: extraction workers rebuild the index in their own
+    processes, which inherit the env the JVM was LAUNCHED with — call
+    this BEFORE building the SparkSession or the workers keep the
+    full-list default."""
+    os.environ[_SUBSET_ONLY_ENV] = "1"
     ad_selector_index.cache_clear()
     cookie_selector_index.cache_clear()
 
 
 @lru_cache(maxsize=1)
 def ad_selector_index() -> SelectorIndex:
-    return SelectorIndex(AD_SELECTORS + load_extra_selectors(_EXTRA_ADS_ENV))
+    extra = load_extra_selectors(_EXTRA_ADS_ENV)
+    if full_lists_enabled():
+        extra = _read_bundled(_BUNDLED_FILES[_EXTRA_ADS_ENV]) + extra
+    return SelectorIndex(AD_SELECTORS + extra)
 
 
 @lru_cache(maxsize=1)
 def cookie_selector_index() -> SelectorIndex:
-    return SelectorIndex(
-        COOKIE_SELECTORS + load_extra_selectors(_EXTRA_COOKIES_ENV))
+    extra = load_extra_selectors(_EXTRA_COOKIES_ENV)
+    if full_lists_enabled():
+        extra = _read_bundled(_BUNDLED_FILES[_EXTRA_COOKIES_ENV]) + extra
+    return SelectorIndex(COOKIE_SELECTORS + extra)

@@ -43,10 +43,19 @@ N_SEEDS = 10
 N_FIND_SOURCES = 15
 FIND_SEED = 42
 
+# The oracle artifacts are a function of (corpus params, seed, AND the
+# active EasyList tier): the full-list default detects markup the
+# pinned subset does not (corpus.gen_html embeds full-list-only divs),
+# so each tier gets its own versioned directory. The tier is captured
+# at import — queries()/oracle_sql() and the SQL strings baked from
+# these paths must agree within one process.
+_LIST_MODE = "full"
+if os.environ.get("ADSCRAPER_SPARK_PINNED_SUBSET"):
+    _LIST_MODE = "subset"
 ROOT = os.path.join(
     tempfile.gettempdir(),
-    f"adscraper_spark_oracle_v4_{ORACLE_N_PAGES}_{ORACLE_N_HOSTS}"
-    f"_{ORACLE_SEED}")
+    f"adscraper_spark_oracle_v5_{_LIST_MODE}_{ORACLE_N_PAGES}"
+    f"_{ORACLE_N_HOSTS}_{ORACLE_SEED}")
 
 
 def oracle_spec() -> CorpusSpec:
@@ -108,6 +117,24 @@ def _build(out_dir: str) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    from .html import easylist
+
+    # Build with the tier ROOT was keyed to at import — a test that
+    # flipped the tier afterwards must not poison the shared cache dir.
+    want_full = _LIST_MODE == "full"
+    had_full = easylist.full_lists_enabled()
+    if had_full != want_full:
+        (easylist.enable_full_lists if want_full
+         else easylist.disable_full_lists)()
+    try:
+        _build_inner(out_dir, pa, pq)
+    finally:
+        if had_full != want_full:
+            (easylist.enable_full_lists if had_full
+             else easylist.disable_full_lists)()
+
+
+def _build_inner(out_dir: str, pa, pq) -> None:
     spec = oracle_spec()
     write_corpus_parquet(spec, out_dir)
 

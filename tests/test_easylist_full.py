@@ -16,9 +16,11 @@ from adscraper_spark.html.selectors import SelectorIndex
 
 @pytest.fixture
 def full_lists():
+    # full lists are the DEFAULT now; the fixture just guarantees a
+    # clean default state on both sides of the test
     easylist.enable_full_lists()
     yield
-    easylist.disable_full_lists()
+    easylist.enable_full_lists()
 
 
 def test_bundled_snapshot_counts_match_reference():
@@ -54,18 +56,23 @@ def test_full_list_only_cookie_selector_removed(full_lists):
 
 
 def test_disable_restores_pinned_subset():
-    easylist.enable_full_lists()
-    easylist.disable_full_lists()
     from adscraper_spark.extraction.core import detect_ads
 
-    doc = parse_html('<html><body><div id="AC_ad">x</div></body></html>')
-    assert detect_ads(doc) == []
+    easylist.disable_full_lists()
+    try:
+        doc = parse_html(
+            '<html><body><div id="AC_ad">x</div></body></html>')
+        assert detect_ads(doc) == []
+    finally:
+        easylist.enable_full_lists()  # restore the process default
 
 
 def test_extraction_identical_when_full_only_selectors_absent(full_lists):
     """Pages whose markup touches only pinned-subset selectors extract
-    byte-identically under either list — enabling the full lists is a
-    superset, never a behavior change for subset-only markup."""
+    byte-identically under either list — the full lists are a
+    superset, never a behavior change for subset-only markup. Pages
+    carrying the corpus's full-list-only divs MUST differ (the default
+    detection surface is load-bearing, not vacuous)."""
     from adscraper_spark.corpus import CorpusSpec, gen_html
     from adscraper_spark.extraction.core import extract_page
 
@@ -76,8 +83,13 @@ def test_extraction_identical_when_full_only_selectors_absent(full_lists):
     easylist.disable_full_lists()
     with_subset = [extract_page(u, h) for u, h in pages]
     easylist.enable_full_lists()  # fixture teardown expects enabled state
-    for a, b in zip(with_full, with_subset):
-        assert a == b
+    n_diff = 0
+    for (u, html), a, b in zip(pages, with_full, with_subset):
+        if b"AC_ad" in html or b"ACCETTA_COOKIES" in html:
+            n_diff += a != b
+        else:
+            assert a == b, u
+    assert n_diff > 0  # full-only markup present AND detected
 
 
 def test_selector_index_builds_at_real_scale(full_lists):
@@ -191,4 +203,5 @@ def test_bundled_env_hook_round_trip(tmp_path):
             '<html><body><div id="my-extra-ad">x</div></body></html>')
         assert [s for _, s in detect_ads(doc)] == ["#my-extra-ad"]
     finally:
-        easylist.disable_full_lists()
+        os.environ.pop(easylist._EXTRA_ADS_ENV, None)
+        easylist.ad_selector_index.cache_clear()

@@ -1,10 +1,11 @@
-"""--full-easylists must reach the EXTRACTION WORKERS, not just the
-driver: the selector index is rebuilt per worker process from env the
-JVM was launched with, so the flag is only effective when set before
-the SparkSession (easylist.enable_full_lists docstring). This test
-drives the real CLI in a subprocess over a page whose ad markup
-matches ONLY the real EasyList snapshot — detection through the
-engine proves the propagation chain end-to-end."""
+"""The full-EasyList DEFAULT must reach the EXTRACTION WORKERS, not
+just the driver: the selector index is rebuilt per worker process from
+module defaults (no env propagation needed — that is why full-on is
+the default rather than an opt-in env var). The --pinned-subset
+opt-OUT rides env the JVM is launched with, so the CLI sets it before
+the SparkSession. This test drives the real CLI in subprocesses over a
+page whose ad markup matches ONLY the real EasyList snapshot —
+detection through the engine proves both directions end-to-end."""
 
 import glob
 import os
@@ -57,11 +58,11 @@ def _ad_selectors(workdir: str) -> set[str]:
     return sels
 
 
-def test_full_easylists_flag_reaches_extraction_workers(tmp_path):
+def test_full_easylists_default_reaches_extraction_workers(tmp_path):
     pages = _write_corpus(tmp_path)
-    with_flag = str(tmp_path / "w_full")
-    without = str(tmp_path / "w_subset")
-    _crawl(tmp_path, pages, with_flag, "--full-easylists")
-    _crawl(tmp_path, pages, without)
-    assert "#AC_ad" in _ad_selectors(with_flag)
-    assert "#AC_ad" not in _ad_selectors(without)  # control: subset only
+    default = str(tmp_path / "w_full")
+    subset = str(tmp_path / "w_subset")
+    _crawl(tmp_path, pages, default)  # NO flag: full lists by default
+    _crawl(tmp_path, pages, subset, "--pinned-subset")
+    assert "#AC_ad" in _ad_selectors(default)
+    assert "#AC_ad" not in _ad_selectors(subset)  # opt-out control
