@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..extraction.core import HEALTH_KEYWORDS
+from .common import with_global_agg
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -224,12 +225,15 @@ def f6_keyword_filter_with_fallback(spark: SparkSession,
     # partial-aggregated global agg broadcast back onto the rows
     # (same pattern as analysis.find_pages_with_ads) — keep rows where
     # the keyword hit, or where nothing in the table hit (fallback).
+    # with_global_agg caches the flagged projection so the source (and
+    # the keyword predicate over full text) is scanned ONCE, not once
+    # per side of the crossJoin.
     flagged = doc.select("doc_id", "lang", pred.alias("kw"))
     # coalesce: an all-NULL text column must take the fallback (keep
     # everything), not filter(~NULL | NULL) == drop everything
-    any_kw = flagged.agg(
-        F.coalesce(F.max("kw"), F.lit(False)).alias("has_kw"))
-    return (flagged.crossJoin(F.broadcast(any_kw))
+    return (with_global_agg(
+                flagged,
+                F.coalesce(F.max("kw"), F.lit(False)).alias("has_kw"))
             .filter(~F.col("has_kw") | F.col("kw"))
             .select("doc_id", "lang").orderBy("doc_id"))
 

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .common import with_global_agg
+
 # pinned per-language marker words (surrounded by spaces when counted so
 # substrings don't double-hit). Deterministic tie-break: language order.
 LANG_MARKERS: dict[str, list[str]] = {
@@ -191,18 +193,22 @@ FROM t GROUP BY lang ORDER BY lang
 """
 
 
-FINGERPRINT_K = 8  # char-shingle width
+FINGERPRINT_K = 8   # char-shingle width
+FINGERPRINT_STRIDE = 4  # probe every 4th position (winnowing density)
 
 
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Min-hash document fingerprint: minimum md5 over all 8-char
-    shingles (rolling-window content fingerprint; winnowing's min rule
-    with a single global window). md5 hex compares identically in both
-    engines."""
+    """Min-hash document fingerprint: minimum md5 over the 8-char
+    shingles at every STRIDE-th position (rolling-window content
+    fingerprint; winnowing's min rule with a strided probe set —
+    stride 4 keeps windows overlapping, so any two documents sharing
+    an aligned run still collide, at 1/4 the hash cost of probing
+    every position). md5 hex compares identically in both engines."""
     doc = _docs(spark, sf_dir).filter(F.length("text") >= FINGERPRINT_K)
     shingles = F.transform(
         F.sequence(F.lit(1),
-                   F.length("text") - F.lit(FINGERPRINT_K - 1)),
+                   F.length("text") - F.lit(FINGERPRINT_K - 1),
+                   F.lit(FINGERPRINT_STRIDE)),
         lambda i: F.md5(F.substring(F.col("text"), i, FINGERPRINT_K)
                         .cast("binary")))
     return (doc.select("doc_id",
@@ -213,11 +219,13 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_fingerprint_sql() -> str:
     # DuckDB's generate_series only takes constants, so the position
     # domain is built from row_number over lineitem (always longer than
-    # the longest document) and pre-filtered to max(length(text)).
+    # the longest document) and pre-filtered to max(length(text)) and
+    # to the strided probe positions.
     return f"""
 WITH nums AS (
   SELECT i FROM (SELECT row_number() OVER () AS i FROM lineitem)
   WHERE i <= (SELECT max(length(text)) FROM documents)
+    AND (i - 1) % {FINGERPRINT_STRIDE} = 0
 )
 SELECT doc_id,
        min(md5(substr(text, CAST(i AS INT), {FINGERPRINT_K})))
@@ -235,13 +243,15 @@ def domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     training data against (per-domain caps, up/down-sampling). Exact
     long sums; the share is one double division so both engines agree
     bit-for-bit. One partial-agg shuffle on source + a 1-row broadcast
-    total — corpus-size independent width at 100 TB."""
+    total — corpus-size independent width at 100 TB. The tiny grouped
+    intermediate is cached (with_global_agg), so the documents scan
+    and the groupBy run ONCE instead of once per crossJoin side."""
     doc = _docs(spark, sf_dir)
     per = doc.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"))
-    total = per.agg(F.sum("total_chars").alias("all_chars"))
-    return (per.crossJoin(F.broadcast(total))
+    return (with_global_agg(per,
+                            F.sum("total_chars").alias("all_chars"))
             .select("source", "n_docs", "total_chars",
                     F.round(F.col("total_chars")
                             / F.col("all_chars"), 6).alias("char_share"))

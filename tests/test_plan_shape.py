@@ -284,3 +284,16 @@ def test_ann_ivf_centroids_broadcast(spark):
     plan = _plan(df)
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "partial_max" in plan or "HashAggregate" in plan, plan
+
+
+def test_global_agg_broadcast_reads_cache_not_second_scan(spark):
+    """f6 / domain_mix broadcast a 1-row global aggregate back onto
+    the rows it was computed from; with_global_agg caches the shared
+    intermediate so BOTH crossJoin sides are InMemoryTableScans — the
+    parquet source (and the expensive keyword/groupBy projection) is
+    evaluated once, not once per side."""
+    for q in (relational.f6_keyword_filter_with_fallback,
+              text_quality.domain_mix):
+        plan = _plan(q(spark, SF))
+        assert plan.count("InMemoryTableScan") == 2, plan
+        assert "BroadcastNestedLoopJoin" in plan, plan
