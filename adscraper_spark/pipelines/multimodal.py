@@ -1,16 +1,19 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed by Arrow-batched pandas UDFs.
 
-The runtime has no image/audio decode libraries, so the decode step is
-STUBBED (``decode_image`` raises NotImplementedError unless PIL is
-importable; a deterministic fake feature extractor stands in) — but the
-Spark-side plumbing is real and tested: schema, binary payload flow
-through Arrow, mapInPandas batch shapes, frame-sample explode,
-partitioning.
+The image path does REAL decode: corpus image payloads are genuine
+binary PPM files (``P6`` header + raw RGB pixels) built JVM-side, and
+``decode_image`` parses PPM and 24-bit BMP with pure numpy (~40 LoC) —
+no image library needed. Compressed formats (jpeg/png) fall back to
+PIL when importable, mirroring a full runtime. Audio/video stay
+byte-statistic fakes (no codec in this container), exercising the same
+Arrow binary path.
 
-Since the driver testdata has no binary media, payloads are derived
-deterministically from ``documents.text`` (UTF-8 bytes) — the plumbing
-is identical to real media bytes.
+Oracle strategy: an image payload's pixel plane is a prefix of
+``documents.text`` (ASCII, so char==byte), so DuckDB can verify TRUE
+pixel statistics and the exact md5 of the resized PPM by
+reconstructing header+pixels as strings — the Spark side decodes the
+binary for real; the SQL side never needs a decoder.
 """
 
 from __future__ import annotations
@@ -23,120 +26,258 @@ from pyspark.sql import functions as F
 
 FRAME_BYTES = 64  # fake "frame" = 64-byte slice of the payload
 
+IMG_W = 16                 # corpus image width (pixels)
+IMG_LINE = IMG_W * 3       # bytes per pixel row
+RESIZE_X_STRIDE = 2        # resize = keep every 2nd pixel column
+
+
+# ---------------------------------------------------------------------------
+# real image codecs (pure numpy — uncompressed header+raw formats)
+# ---------------------------------------------------------------------------
+
+def encode_ppm(width: int, height: int, pixels) -> bytes:
+    """Binary PPM (P6, maxval 255) from raw RGB bytes / uint8 array."""
+    body = pixels.tobytes() if hasattr(pixels, "tobytes") else bytes(pixels)
+    if len(body) != width * height * 3:
+        raise ValueError(f"pixel buffer is {len(body)} bytes, "
+                         f"want {width * height * 3}")
+    return b"P6\n%d %d\n255\n" % (width, height) + body
+
 
 def decode_image(payload: bytes):
-    """Real decode stub — wire PIL/libvips here in a full runtime."""
+    """Decode an uncompressed image payload to
+    ``(width, height, pixels)`` with pixels a uint8 ndarray of shape
+    (height, width, 3), RGB.
+
+    Native decoders (pure numpy): binary PPM (``P6``, incl. header
+    comments) and 24-bit uncompressed BMP (bottom-up or top-down,
+    4-byte row padding, BGR→RGB). Anything else goes through PIL when
+    importable (the compressed-format path of a full runtime), else
+    ValueError."""
+    import numpy as np
+
+    if payload[:2] == b"P6":
+        pos, vals = 2, []
+        while len(vals) < 3:
+            while (pos < len(payload)
+                   and payload[pos:pos + 1].isspace()):
+                pos += 1
+            if payload[pos:pos + 1] == b"#":
+                while (pos < len(payload)
+                       and payload[pos:pos + 1] != b"\n"):
+                    pos += 1
+                continue
+            start = pos
+            while (pos < len(payload)
+                   and not payload[pos:pos + 1].isspace()):
+                pos += 1
+            vals.append(int(payload[start:pos]))
+        pos += 1  # exactly one whitespace byte before the raster
+        w, h, maxval = vals
+        if maxval > 255:
+            raise ValueError("16-bit PPM not supported")
+        px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3,
+                           offset=pos)
+        return w, h, px.reshape(h, w, 3)
+
+    if payload[:2] == b"BM":
+        import struct
+
+        off, = struct.unpack_from("<I", payload, 10)
+        w, h = struct.unpack_from("<ii", payload, 18)
+        bpp, = struct.unpack_from("<H", payload, 28)
+        comp, = struct.unpack_from("<I", payload, 30)
+        if bpp != 24 or comp != 0:
+            raise ValueError("only 24-bit uncompressed BMP supported")
+        bottom_up = h > 0
+        h = abs(h)
+        stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+        rows = (np.frombuffer(payload, dtype=np.uint8,
+                              count=stride * h, offset=off)
+                .reshape(h, stride)[:, :w * 3].reshape(h, w, 3))
+        if bottom_up:
+            rows = rows[::-1]
+        return w, h, rows[..., ::-1].copy()  # BGR → RGB
+
     try:
-        from PIL import Image  # noqa: F401
+        import io
+
+        from PIL import Image
     except ImportError as e:
-        raise NotImplementedError(
-            "image decode requires PIL; this runtime processes media as "
-            "opaque bytes (deterministic fake features instead)") from e
-    raise NotImplementedError("real decode not wired in this environment")
+        raise ValueError(
+            "unsupported image format (PPM/BMP decode natively; "
+            "install PIL for compressed formats)") from e
+    img = Image.open(io.BytesIO(payload)).convert("RGB")
+    return img.width, img.height, np.asarray(img, dtype=np.uint8)
+
+
+def _round4(x: float) -> float:
+    """Half-away-from-zero to 4 places (matches SQL ROUND; Python's
+    round() is banker's and would diverge on exact .5 boundaries)."""
+    import math
+
+    return math.floor(x * 10000 + 0.5) / 10000
 
 
 def fake_features(payload: bytes) -> list[float]:
-    """Deterministic stand-in for a decoded-media feature vector:
-    byte-level statistics (exercises the same Arrow binary path a real
-    decoder would). numpy over the buffer — the interpreter never loops
-    bytes (~50× over a Python sum on real payloads)."""
-    import math
-
+    """Deterministic stand-in for a decoded-media feature vector
+    (audio/video: no codec in this container): byte-level statistics
+    through the same Arrow binary path a real decoder uses."""
     import numpy as np
 
     if not payload:
         return [0.0, 0.0, 0.0, 0.0]
     arr = np.frombuffer(payload, dtype=np.uint8)
     n = arr.size
-    # half-away-from-zero rounding (matches SQL ROUND; Python's round()
-    # is banker's and would diverge on exact .5 boundaries)
-    mean = math.floor(int(arr.sum(dtype=np.int64)) / n * 10000 + 0.5) / 10000
+    mean = _round4(int(arr.sum(dtype=np.int64)) / n)
     return [float(n), mean, float(arr.min()), float(arr.max())]
 
 
-def multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents → media table (doc_id, media_type, payload binary,
-    n_bytes, payload_md5). Pure column ops; binary column materialized
-    for downstream UDFs."""
-    doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    payload = F.col("text").cast("binary")
-    media_type = F.when(F.col("doc_id") % 3 == 0, "image") \
-        .when(F.col("doc_id") % 3 == 1, "audio").otherwise("video")
-    return (doc.select(
-        "doc_id",
-        media_type.alias("media_type"),
-        F.length(payload).cast("long").alias("n_bytes"),
-        F.md5(payload).alias("payload_md5"))
-        .orderBy("doc_id"))
+# ---------------------------------------------------------------------------
+# media table (JVM-side payload construction)
+# ---------------------------------------------------------------------------
+
+def _media_cols():
+    """Shared JVM-side expressions: media type + payload. Image rows
+    (doc_id % 3 == 0 with ≥ one pixel row of text) carry a REAL binary
+    PPM whose raster is the text prefix; audio/video carry raw bytes.
+    Short % 3 == 0 docs that can't fill a pixel row fall to 'video'."""
+    h = F.floor(F.length("text") / IMG_LINE).cast("long")
+    is_img = (F.col("doc_id") % 3 == 0) & (F.length("text") >= IMG_LINE)
+    media_type = (F.when(is_img, "image")
+                  .when(F.col("doc_id") % 3 == 1, "audio")
+                  .otherwise("video"))
+    header = F.concat(F.lit(f"P6\n{IMG_W} "), h.cast("string"),
+                      F.lit("\n255\n"))
+    raster = F.col("text").substr(F.lit(1), (h * IMG_LINE).cast("int"))
+    payload = F.when(is_img, F.concat(header, raster).cast("binary")) \
+        .otherwise(F.col("text").cast("binary"))
+    return media_type, payload
+
+
+#: SQL mirror of _media_cols (ASCII text ⇒ char ops == byte ops)
+_MEDIA_CTE = f"""
+WITH m AS (
+  SELECT doc_id, text, length(text) AS L,
+         CAST(floor(length(text) / {IMG_LINE}) AS BIGINT) AS h,
+         (doc_id % 3 = 0 AND length(text) >= {IMG_LINE}) AS is_img
+  FROM documents
+), p AS (
+  SELECT doc_id, text, L, h, is_img,
+         CASE WHEN is_img THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         CASE WHEN is_img
+              THEN 'P6' || chr(10) || '{IMG_W} ' || CAST(h AS VARCHAR)
+                   || chr(10) || '255' || chr(10)
+                   || substr(text, 1, CAST({IMG_LINE} * h AS INT))
+              ELSE text END AS payload,
+         CASE WHEN is_img
+              THEN substr(text, 1, CAST({IMG_LINE} * h AS INT))
+              ELSE text END AS body
+  FROM m
+)
+"""
 
 
 def _media_with_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    media_type = F.when(F.col("doc_id") % 3 == 0, "image") \
-        .when(F.col("doc_id") % 3 == 1, "audio").otherwise("video")
-    return doc.select(
-        "doc_id", media_type.alias("media_type"),
-        F.col("text").cast("binary").alias("payload"))
+    media_type, payload = _media_cols()
+    return doc.select("doc_id", media_type.alias("media_type"),
+                      payload.alias("payload"))
 
 
-MULTIMODAL_INGEST_SQL = """
-SELECT doc_id,
-       CASE WHEN doc_id % 3 = 0 THEN 'image'
-            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
-       CAST(length(text) AS BIGINT) AS n_bytes,
-       md5(text) AS payload_md5
-FROM documents ORDER BY doc_id
+def multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → media table (doc_id, media_type, n_bytes,
+    payload_md5). Image payloads are real PPM binaries; the md5 is the
+    md5 of the ACTUAL file bytes the decoder consumes."""
+    media = _media_with_payload(spark, sf_dir)
+    return (media.select(
+        "doc_id", "media_type",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"))
+        .orderBy("doc_id"))
+
+
+MULTIMODAL_INGEST_SQL = _MEDIA_CTE + """
+SELECT doc_id, media_type,
+       CAST(length(payload) AS BIGINT) AS n_bytes,
+       md5(payload) AS payload_md5
+FROM p ORDER BY doc_id
 """
 
 
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched 'decode'/feature-extract over the binary column —
-    the real-media codepath with the decoder faked (see module doc)."""
+    """Arrow-batched feature extraction over the binary column. Image
+    rows are DECODED for real (PPM → uint8 pixel array) and the
+    statistics are over the pixel plane, with true width/height;
+    audio/video get byte statistics over the raw payload
+    (width = height = 0)."""
     media = _media_with_payload(spark, sf_dir)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            feats = [fake_features(bytes(p)) for p in pdf["payload"]]
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "media_type": pdf["media_type"],
-                "n_bytes": [f[0] for f in feats],
-                "byte_mean": [f[1] for f in feats],
-                "byte_min": [f[2] for f in feats],
-                "byte_max": [f[3] for f in feats],
-            })
+            out = {"doc_id": pdf["doc_id"],
+                   "media_type": pdf["media_type"],
+                   "n_bytes": [], "byte_mean": [], "byte_min": [],
+                   "byte_max": [], "width": [], "height": []}
+            for mt, p in zip(pdf["media_type"], pdf["payload"]):
+                buf = bytes(p)
+                if mt == "image":
+                    w, h, px = decode_image(buf)
+                    flat = px.reshape(-1)
+                    out["n_bytes"].append(float(flat.size))
+                    out["byte_mean"].append(_round4(
+                        int(flat.sum(dtype=np.int64)) / flat.size))
+                    out["byte_min"].append(float(flat.min()))
+                    out["byte_max"].append(float(flat.max()))
+                    out["width"].append(float(w))
+                    out["height"].append(float(h))
+                else:
+                    f = fake_features(buf)
+                    out["n_bytes"].append(f[0])
+                    out["byte_mean"].append(f[1])
+                    out["byte_min"].append(f[2])
+                    out["byte_max"].append(f[3])
+                    out["width"].append(0.0)
+                    out["height"].append(0.0)
+            yield pd.DataFrame(out)
 
     return media.mapInPandas(
         extract,
         schema=("doc_id long, media_type string, n_bytes double, "
-                "byte_mean double, byte_min double, byte_max double")
+                "byte_mean double, byte_min double, byte_max double, "
+                "width double, height double")
     ).orderBy("doc_id")
 
 
-MEDIA_FEATURES_SQL = """
-WITH b AS (
-  SELECT doc_id,
-         CASE WHEN doc_id % 3 = 0 THEN 'image'
-              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END
-           AS media_type,
-         unnest(string_split_regex(text, '')) AS ch
-  FROM documents WHERE length(text) > 0
+MEDIA_FEATURES_SQL = _MEDIA_CTE + """
+, b AS (
+  SELECT doc_id, media_type, is_img, h,
+         unnest(string_split_regex(body, '')) AS ch
+  FROM p WHERE L > 0
 )
 SELECT doc_id, media_type,
        CAST(count(*) AS DOUBLE) AS n_bytes,
        round(avg(ord(ch)), 4) AS byte_mean,
        CAST(min(ord(ch)) AS DOUBLE) AS byte_min,
-       CAST(max(ord(ch)) AS DOUBLE) AS byte_max
-FROM b GROUP BY doc_id, media_type ORDER BY doc_id
+       CAST(max(ord(ch)) AS DOUBLE) AS byte_max,
+       CAST(CASE WHEN is_img THEN 16 ELSE 0 END AS DOUBLE) AS width,
+       CAST(CASE WHEN is_img THEN h ELSE 0 END AS DOUBLE) AS height
+FROM b GROUP BY doc_id, media_type, is_img, h ORDER BY doc_id
 """
 
 
 def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling: explode the payload into fixed-size 'frames'
-    (byte slices) — the video-frame-sampling plumbing (slice → explode →
-    per-frame hash), all JVM-side."""
-    media = _media_with_payload(spark, sf_dir).withColumn(
-        "n_bytes", F.length("payload").cast("long"))
+    """Frame sampling: explode the raw payload into fixed-size
+    'frames' (byte slices) — the video-frame-sampling plumbing
+    (slice → explode → per-frame hash), all JVM-side."""
+    doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = doc.select(
+        "doc_id", F.col("text").cast("binary").alias("payload"),
+        F.length("text").cast("long").alias("n_bytes"))
     n_frames = F.ceil(F.col("n_bytes") / F.lit(FRAME_BYTES)).cast("int")
     frames = F.transform(
         F.sequence(F.lit(0), n_frames - 1),
@@ -169,20 +310,17 @@ ORDER BY doc_id, frame_idx
 """
 
 
-RESIZE_STRIDE = 4  # keep every 4th byte — the downsample ratio
+RESIZE_STRIDE = 4  # raw-byte downsample ratio (audio/video arm)
 
 
 def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize plumbing: downsample the binary payload by striding
-    (every ``RESIZE_STRIDE``-th byte) in an Arrow-batched pandas UDF —
-    the exact codepath a real image resize takes (binary in, numpy
-    transform, binary out), with the pixel math faked as a byte stride.
-    Output keeps the resized payload's md5 + sizes so the oracle can
-    verify the transform content, not just shapes. (The oracle's
-    char-stride equals the byte stride because the synthetic corpus
-    text is ASCII — same precedent as media_features' ord-vs-uint8.)"""
+    """Resize over the binary column. Image rows: REAL resize — decode
+    the PPM, keep every ``RESIZE_X_STRIDE``-th pixel column (nearest-
+    neighbor x-downsample), re-encode as PPM, hash the actual output
+    file bytes. Audio/video rows: byte-stride downsample (no codec).
+    Binary in → numpy transform → binary out, Arrow-batched."""
     media = _media_with_payload(spark, sf_dir).filter(
-        F.length("payload") > 0)  # mirror the oracle's length(text)>0
+        F.length("payload") > 0)
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -191,10 +329,15 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for pdf in batches:
             orig, resized, digests = [], [], []
-            for p in pdf["payload"]:
+            for mt, p in zip(pdf["media_type"], pdf["payload"]):
                 buf = bytes(p)
-                small = np.frombuffer(buf, dtype=np.uint8)[
-                    ::RESIZE_STRIDE].tobytes()
+                if mt == "image":
+                    w, h, px = decode_image(buf)
+                    small_px = px[:, ::RESIZE_X_STRIDE, :]
+                    small = encode_ppm(small_px.shape[1], h, small_px)
+                else:
+                    small = np.frombuffer(buf, dtype=np.uint8)[
+                        ::RESIZE_STRIDE].tobytes()
                 orig.append(len(buf))
                 resized.append(len(small))
                 digests.append(hashlib.md5(small).hexdigest())
@@ -211,20 +354,30 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id"))
 
 
-# stride-by-regex: keep the 1st char of every STRIDE-char block.
-# (?s) makes '.' match newlines — without it a \n in the text would be
-# skipped by the match, de-aligning the blocks vs the byte stride.
-MEDIA_RESIZE_SQL = f"""
-SELECT doc_id,
-       CAST(length(text) AS BIGINT) AS orig_bytes,
-       CAST(length(regexp_replace(text,
+# Image arm: the resized PPM is reconstructable as a string — header
+# with the halved width, then every 2nd pixel (keep 3 bytes of each
+# 6-byte block; rows are 48 bytes so blocks never straddle rows).
+# Raw arm: stride-by-regex, keep the 1st char of every STRIDE-char
+# block ((?s) so '.' crosses newlines and stays byte-aligned).
+MEDIA_RESIZE_SQL = _MEDIA_CTE + f"""
+, r AS (
+  SELECT doc_id,
+         length(payload) AS orig_bytes,
+         CASE WHEN media_type = 'image'
+              THEN 'P6' || chr(10) || '{IMG_W // RESIZE_X_STRIDE} '
+                   || CAST(h AS VARCHAR) || chr(10) || '255' || chr(10)
+                   || regexp_replace(body, '(?s)(.{{3}})(.{{0,3}})',
+                                     '\\1', 'g')
+              ELSE regexp_replace(body,
                                   '(?s)(.)(.{{0,{RESIZE_STRIDE - 1}}})',
-                                  '\\1', 'g')) AS BIGINT)
-         AS resized_bytes,
-       md5(regexp_replace(text, '(?s)(.)(.{{0,{RESIZE_STRIDE - 1}}})',
-                          '\\1', 'g')) AS resized_md5
-FROM documents WHERE length(text) > 0
-ORDER BY doc_id
+                                  '\\1', 'g')
+         END AS small
+  FROM p WHERE L > 0
+)
+SELECT doc_id, CAST(orig_bytes AS BIGINT) AS orig_bytes,
+       CAST(length(small) AS BIGINT) AS resized_bytes,
+       md5(small) AS resized_md5
+FROM r ORDER BY doc_id
 """
 
 
