@@ -1105,6 +1105,7 @@ class CrawlEngine:
                    (self.iframes, iframes_df)]
         if admissions_df is not None:
             appends.append((self.admitted, admissions_df))
+        _t_persist = _time.time()
         with ThreadPoolExecutor(max_workers=len(appends) + 2) as pool:
             futs = [pool.submit(table.append, df) for table, df in appends]
             count_fut = pool.submit(fetched.count)
@@ -1119,6 +1120,7 @@ class CrawlEngine:
             if bloom_fut is not None:
                 bloom_fut.result()
         n_errors = n_planned - n_fetched
+        persist_sec = _time.time() - _t_persist
         _tick("table appends + bloom + count (parallel)")
         if admissions_df is not None:
             admissions_df.unpersist()
@@ -1127,6 +1129,11 @@ class CrawlEngine:
             "admitted": n_admitted,
             "disallowed": n_disallowed,
             "approx_hosts": n_hosts,
+            # wall seconds in the snapshot-persistence block (the 5-6
+            # parallel table appends + bloom + count): the bench uses
+            # this to itemize end-to-end-vs-kernel scaling (single-disk
+            # write serialization vs compute)
+            "persist_sec": round(persist_sec, 3),
         }
         if n_late:
             # staged mid-window batches folded this wave — counted here

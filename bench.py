@@ -66,32 +66,46 @@ def _session(cpus: int):
 
 
 QUERY_PASSES = int(os.environ.get("BENCH_QUERY_PASSES", "3"))
+PARITY_PASSES = int(os.environ.get("BENCH_PARITY_PASSES", "3"))
 
 
-def bench_queries(spark) -> tuple[dict[str, float], dict[str, dict]]:
+def bench_queries(spark, names: list[str],
+                  passes: int) -> tuple[dict[str, float], dict[str, dict]]:
     """Best-of-N per query plus the observed spread: single-shot
     timings on this shared-host sandbox swing 2× with host steal, so a
     single number is not reproducible — the variance column records how
     noisy the machine was during THIS run. Pass 1 additionally strips
-    first-use costs (python worker spawn, plan compilation) that a
-    long-running production session would not pay per query; it is
-    excluded from the spread."""
+    first-use costs (python worker spawn, plan compilation, and — for
+    the engine-backed parity queries — the one shared e2e crawl +
+    oracle-artifact build) that a long-running production session
+    would not pay per query; it is excluded from the spread."""
     import __spark_entry__ as entry
 
     q = entry.queries()
-    samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
-    for p in range(QUERY_PASSES):
-        for name in HEADLINE:
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    for p in range(passes):
+        for name in names:
             t0 = time.time()
             _noop_write(q[name](spark, SF_DIR))
             dt = round(time.time() - t0, 3)
-            if p > 0 or QUERY_PASSES == 1:
+            if p > 0 or passes == 1:
                 samples[name].append(dt)
     best = {n: min(v) for n, v in samples.items()}
     var = {n: {"best": min(v), "worst": max(v), "n": len(v),
                "spread_pct": round((max(v) - min(v)) / min(v) * 100, 1)}
            for n, v in samples.items()}
     return best, var
+
+
+def parity_query_names() -> list[str]:
+    """Every queries() entry not in HEADLINE — mostly the engine-backed
+    crawl-parity block (analysis joins, RSS, find-article) plus the
+    small relational demos. Benched so a regression there is visible
+    (VERDICT r04 #5); the shared e2e crawl is built once on the
+    excluded first pass."""
+    import __spark_entry__ as entry
+
+    return sorted(set(entry.queries()) - set(HEADLINE))
 
 
 def _bench_spec():
@@ -366,7 +380,10 @@ def main() -> None:
 
     # --- headline queries + corpus gen --------------------------------
     spark = _session(CPUS)
-    queries, query_variance = bench_queries(spark)
+    queries, query_variance = bench_queries(spark, HEADLINE, QUERY_PASSES)
+    parity, parity_variance = bench_queries(spark, parity_query_names(),
+                                            PARITY_PASSES)
+    query_variance.update(parity_variance)
     if not os.path.exists(os.path.join(corpus_root, "pages.parquet")):
         _crawl_corpus(spark, corpus_root)
     corpus_paths = {
@@ -402,6 +419,7 @@ def main() -> None:
         "value": best_thr,
         "unit": "urls/sec",
         "queries": queries,
+        "queries_parity": parity,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "crawl": {
             f"local[{CPUS}]": crawl_high,
