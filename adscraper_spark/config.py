@@ -50,6 +50,18 @@ class CrawlConfig:
     # corpus). Turn on only for corpora whose scan yields fewer
     # partitions than cores under heavy per-row extraction.
     udf_stage_repartition: bool = False
+    # Scan-split granularity floor for the no-exchange UDF stage: the
+    # extraction stage inherits the corpus scan's partitioning, and a
+    # corpus small enough to yield fewer splits than ~this×cores under
+    # spark.sql.files.maxPartitionBytes leaves cores idle through the
+    # most CPU-expensive stage of the wave (measured: a 2 GB corpus at
+    # the 128 MB default fed 8 cores from 11 splits — effective
+    # concurrency 5). The engine LOWERS maxPartitionBytes at init until
+    # the full-corpus scan yields at least scan_splits_per_core×cores
+    # splits; it never raises the setting, so at cluster scale (corpus
+    # bytes ≫ cores×128 MB) this is a no-op and the operator's own
+    # tuning wins. 0 disables.
+    scan_splits_per_core: int = 3
     # Compact the admitted/processed frontier logs back to
     # frontier_buckets files every K waves (None = never). Iceberg
     # rewrite_data_files analog; keeps the per-wave pending anti-join

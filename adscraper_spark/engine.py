@@ -84,6 +84,19 @@ def _norm_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield out
 
 
+_BYTE_SUFFIXES = {"b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20,
+                  "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30}
+
+
+def _parse_bytes_conf(v: str) -> int:
+    """Spark size confs come back as '134217728', '128m' or '128mb'."""
+    s = str(v).strip().lower()
+    for suf in sorted(_BYTE_SUFFIXES, key=len, reverse=True):
+        if s.endswith(suf):
+            return int(float(s[: -len(suf)]) * _BYTE_SUFFIXES[suf])
+    return int(s)
+
+
 def fetch_join(pages: DataFrame, sched_cols: DataFrame, n_planned: int,
                broadcast_wave_max: int) -> DataFrame:
     """The per-wave fetch (J7): scheduled urls ⋈ corpus. The corpus
@@ -139,6 +152,7 @@ class CrawlEngine:
         # Iceberg the manifests make this a metadata lookup).
         self.pages_layout = corpus_layout(pages_path)
         self._pages_df: DataFrame | None = None
+        self._tune_scan_splits()
         self.workdir = workdir
         os.makedirs(workdir, exist_ok=True)
         buckets = self.config.frontier_buckets
@@ -197,6 +211,44 @@ class CrawlEngine:
             "requests": self.requests, "iframes": self.iframes,
             "crawl_meta": self.crawl_meta,
         }
+
+    def _tune_scan_splits(self) -> None:
+        """Lower spark.sql.files.maxPartitionBytes so the corpus scan
+        yields at least scan_splits_per_core×cores splits (see
+        CrawlConfig.scan_splits_per_core): the extraction UDF consumes
+        the broadcast fetch-join output WITHOUT an exchange (BENCH.md
+        A/B), so scan splits ARE the UDF stage's parallelism. Local
+        paths only — on a remote store (scheme://) the walk would be
+        slow and the cluster default is already sized by the operator.
+        Never raises the setting, so it is a no-op whenever the corpus
+        already out-splits the cores (any production-scale corpus)."""
+        k = self.config.scan_splits_per_core
+        if not k or "://" in self.pages_path \
+                or not os.path.isdir(self.pages_path):
+            return
+        total = 0
+        for dirpath, _dirs, files in os.walk(self.pages_path):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    try:
+                        total += os.path.getsize(
+                            os.path.join(dirpath, fn))
+                    except OSError:
+                        pass
+        par = self.spark.sparkContext.defaultParallelism
+        if total < (16 << 20) or not par:
+            # tiny corpus: task overhead beats parallelism; leave the
+            # session conf alone (also keeps shared test sessions clean)
+            return
+        want = max(4 << 20, total // (k * par))
+        try:
+            cur = _parse_bytes_conf(self.spark.conf.get(
+                "spark.sql.files.maxPartitionBytes", "134217728"))
+        except ValueError:
+            cur = 134217728
+        if want < cur:
+            self.spark.conf.set("spark.sql.files.maxPartitionBytes",
+                                str(want))
 
     # ------------------------------------------------------------------
     # robots dimension (distributed — no driver collect)
@@ -1030,7 +1082,10 @@ class CrawlEngine:
                         F.col("m.src_url").alias("src_url"),
                         F.col("m.cand_ad_id").alias("cand_ad_id"))
             )
-            cand = self._bloom_prefilter(cand, wave)
+            # cache: the fresh/maybe split consumes this lineage twice
+            # (explode → norm UDF → dedup shuffle → bloom probe), and
+            # without the cache the probe UDF re-runs on both branches
+            cand = self._bloom_prefilter(cand, wave).cache()
             fresh = cand.filter(~F.col("maybe_seen")).drop("maybe_seen")
             maybe = cand.filter(F.col("maybe_seen")).drop("maybe_seen")
             admitted_urls = self.admitted.read(spark).select("url")
@@ -1071,6 +1126,7 @@ class CrawlEngine:
             adm_counts = {r["state_initial"]: r["count"] for r in
                           admissions_df.groupBy("state_initial").count()
                           .collect()}
+            cand.unpersist()  # admissions_df's cache holds the rows now
             n_admitted = sum(adm_counts.values())
             n_disallowed = adm_counts.get("disallowed", 0)
             _tick(f"admission ({n_admitted})")

@@ -206,6 +206,15 @@ class SnapshotTable:
         part = os.path.join(self.path, "data", uuid.uuid4().hex)
         if self.bucket_col is not None and self.bucket_col in df.columns:
             df = df.repartition(self.num_buckets, self.bucket_col)
+        else:
+            # Cap file count (and write-task count) at the session's
+            # parallelism: wave appends inherit the corpus scan's split
+            # count, and a 60-split lineage writing a few thousand rows
+            # costs 60 task launches + 60 file commits per wave per
+            # table. coalesce never raises the partition count, so a
+            # genuinely wide append on a big cluster keeps its width.
+            par = df.sparkSession.sparkContext.defaultParallelism
+            df = df.coalesce(max(1, par))
         df.write.mode("overwrite").parquet(part)
         return [part]
 

@@ -297,3 +297,45 @@ def test_global_agg_broadcast_reads_cache_not_second_scan(spark):
         plan = _plan(q(spark, SF))
         assert plan.count("InMemoryTableScan") == 2, plan
         assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_scan_split_tuning_floors_udf_parallelism(spark, tmp_path):
+    """CrawlConfig.scan_splits_per_core: a corpus whose scan yields
+    fewer splits than cores under the session's maxPartitionBytes
+    starves the no-exchange extraction stage (scan splits ARE its
+    parallelism), so engine init lowers the conf to target
+    >= k x cores splits. It must only ever LOWER the setting — at
+    cluster scale the operator's tuning wins untouched."""
+    from adscraper_spark.config import CrawlConfig
+    from adscraper_spark.engine import CrawlEngine, _parse_bytes_conf
+
+    key = "spark.sql.files.maxPartitionBytes"
+    orig = spark.conf.get(key)
+    # ~40 MB of incompressible html in ONE file -> 1 split at the
+    # 128 MB default; 12 chained sha2 hex blocks defeat snappy
+    payload = F.concat(*[
+        F.sha2(F.concat(F.lit(f"s{i}|"), F.col("id").cast("string")), 256)
+        for i in range(12)])
+    src = spark.range(60000).select(
+        F.concat(F.lit("https://h.test/"), "id").alias("url"),
+        payload.alias("html"),
+        F.lit("ts").alias("warc_ts"), F.lit("en").alias("lang"))
+    path = str(tmp_path / "pages")
+    src.coalesce(1).write.parquet(path)
+    try:
+        par = spark.sparkContext.defaultParallelism
+        before = spark.read.parquet(path).rdd.getNumPartitions()
+        cfg = CrawlConfig(max_waves=1, max_depth=0)
+        CrawlEngine(spark, path, None, str(tmp_path / "w"), cfg)
+        tuned = _parse_bytes_conf(spark.conf.get(key))
+        assert tuned < _parse_bytes_conf(orig)
+        after = spark.read.parquet(path).rdd.getNumPartitions()
+        assert after > before
+        assert after >= min(cfg.scan_splits_per_core * par,
+                            after)  # monotone improvement, floor-capped
+        # never raises: a conf already below the target stays put
+        spark.conf.set(key, str(2 << 20))
+        CrawlEngine(spark, path, None, str(tmp_path / "w2"), cfg)
+        assert _parse_bytes_conf(spark.conf.get(key)) == (2 << 20)
+    finally:
+        spark.conf.set(key, orig)
