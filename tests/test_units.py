@@ -174,9 +174,18 @@ def test_bench_compact_line_fits_driver_capture():
          "kernel_scaling": {
              "local[2]": {"wall_sec": 999.99, "pages_per_sec": 9999.9},
              "local[8]": {"wall_sec": 999.99, "pages_per_sec": 99999.9},
-             "scaling_ratio": 4.0, "scaling_efficiency": 0.999}}
+             "scaling_ratio": 4.0, "scaling_efficiency": 0.999},
+         "e2e_pair": {
+             "local[2]": {"wall_sec": 999.99, "urls_per_sec": 9999.99,
+                          "urls_processed": 99999, "persist_sec": 99.9},
+             "local[8]": {"wall_sec": 999.99, "urls_per_sec": 99999.99,
+                          "urls_processed": 99999, "persist_sec": 99.9},
+             "scaling_ratio": 4.0, "scaling_efficiency": 0.999,
+             "corpus": {"pages": 48000, "content_scale": 64,
+                        "seeds": 16000}}}
     line = json.dumps(bench._compact_line(r))
     assert len(line) < 1900, len(line)
     parsed = json.loads(line)
     assert parsed["kernel_scaling"]["scaling_efficiency"] == 0.999
+    assert parsed["e2e_pair"]["scaling_efficiency"] == 0.999
     assert set(parsed["queries"]) == set(bench.HEADLINE)
