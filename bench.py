@@ -337,7 +337,7 @@ def bench_kernel(corpus_paths: dict[str, str]) -> dict:
 
 
 E2E_PAIR_PAGES = int(os.environ.get("BENCH_E2E_PAGES", "48000"))
-E2E_PAIR_CS = int(os.environ.get("BENCH_E2E_CS", "64"))
+E2E_PAIR_CS = int(os.environ.get("BENCH_E2E_CS", "128"))
 E2E_PAIR_SEEDS = int(os.environ.get("BENCH_E2E_SEEDS", "16000"))
 E2E_PAIR_TRIALS = int(os.environ.get("BENCH_E2E_TRIALS", "3"))
 
@@ -346,9 +346,10 @@ def bench_e2e_pair() -> dict:
     """End-to-end engine scaling on REAL cores (local[2] → local[8]):
     the full wave loop — scheduling, bucket/split-tuned fetch scan,
     extraction UDF, admission pipeline, 6-table snapshot persistence —
-    at a compute-bound scale point (content_scale 64 ≈ 4× the headline
-    corpus's per-page extraction work, so the Arrow extraction stage
-    dominates the per-wave fixed costs instead of drowning in them).
+    at a compute-bound scale point (content_scale 128 ≈ 8× the
+    headline corpus's per-page extraction work, so the Arrow extraction
+    stage dominates the per-wave fixed costs instead of drowning in
+    them; measured parallel-work : serial-floor ratio ≈ 12:1 there).
     Protocol mirrors the kernel pair: paired interleaved trials so
     multi-minute host-noise phases hit both sides equally, best-of-N
     per side; each timed run gets its own fresh session with a small
@@ -628,7 +629,7 @@ def _write_bench_md(r: dict) -> None:
         "extraction",
         "UDF, admission pipeline, 6-table snapshot persistence — at "
         f"{r['e2e_pair']['corpus']['pages']} pages, content_scale "
-        f"{r['e2e_pair']['corpus']['content_scale']} (≈4× the headline "
+        f"{r['e2e_pair']['corpus']['content_scale']} (≈8× the headline "
         "corpus's per-page extraction work,",
         "so the Arrow extraction stage dominates per-wave fixed costs), "
         f"{r['e2e_pair']['corpus']['seeds']} seeds, 2 waves. Paired "

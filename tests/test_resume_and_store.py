@@ -448,3 +448,22 @@ def test_checkpoint_every_window_and_crash_replay(spark, small_setup,
     rc = sorted(map(tuple, c2.results.read(spark)
                     .select("url", "wave", "text").collect()))
     assert ra == rc
+
+
+def test_unbucketed_append_caps_file_count(spark, tmp_path):
+    """Wave appends inherit the corpus scan's split count; an
+    unbucketed table must coalesce the write to the session's
+    parallelism so a 30-partition lineage of a few thousand rows does
+    not commit 30 tiny files per wave (store._write_data)."""
+    import glob
+    import os
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    df = spark.range(2000).toDF("x").repartition(30)
+    assert df.rdd.getNumPartitions() == 30
+    t.append(df)
+    par = spark.sparkContext.defaultParallelism
+    files = glob.glob(os.path.join(str(tmp_path / "t"), "data", "*",
+                                   "*.parquet"))
+    assert 0 < len(files) <= par
+    assert t.read(spark).count() == 2000
