@@ -199,3 +199,31 @@ def test_max_urls_frontier_cap_matches_simulator(spark, corpus,
     eng.run()
     assert eng.crawl_order() == sim.order
     assert eng.seen_set() == sim.seen
+
+
+def test_shuffle_fetch_fallback_matches_simulator(spark, corpus,
+                                                  corpus_spec, seeds,
+                                                  robots_rows,
+                                                  crawl_config,
+                                                  tmp_path_factory):
+    """broadcast_wave_max=0 forces EVERY wave through the shuffle-join
+    fetch path (engine.fetch_join's left-join branch — the plan a
+    10^7-URL wave takes at frontier scale). Crawl order and seen set
+    must be identical to the broadcast path / sequential simulator;
+    a fallback only exercised by plan-shape tests could silently drop
+    S6 miss rows or change admission order."""
+    import dataclasses
+
+    from adscraper_spark.corpus import pages_rows
+    from adscraper_spark.engine import CrawlEngine
+    from adscraper_spark.simulator import simulate_crawl
+
+    cfg = dataclasses.replace(crawl_config, broadcast_wave_max=0)
+    work = str(tmp_path_factory.mktemp("work_shuffle_fetch"))
+    eng = CrawlEngine(spark, corpus["pages"], corpus["robots"], work, cfg)
+    eng.bootstrap(seeds)
+    eng.run()
+    pages = {r["url"]: r["html"] for r in pages_rows(corpus_spec)}
+    sim = simulate_crawl(pages, seeds, robots_rows, cfg)
+    assert eng.crawl_order() == sim.order
+    assert eng.seen_set() == sim.seen
