@@ -97,6 +97,13 @@ def _parse_bytes_conf(v: str) -> int:
     return int(s)
 
 
+# Session-conf marker recording that maxPartitionBytes currently holds a
+# value written by _tune_scan_splits (not by the operator): such a value
+# may be re-tuned freely when a LATER engine in the same session opens a
+# different-sized corpus; an operator-set value is only ever lowered.
+_TUNED_SPLIT_MARKER = "spark.adscraper.tunedMaxPartitionBytes"
+
+
 def fetch_join(pages: DataFrame, sched_cols: DataFrame, n_planned: int,
                broadcast_wave_max: int) -> DataFrame:
     """The per-wave fetch (J7): scheduled urls ⋈ corpus. The corpus
@@ -220,8 +227,12 @@ class CrawlEngine:
         A/B), so scan splits ARE the UDF stage's parallelism. Local
         paths only — on a remote store (scheme://) the walk would be
         slow and the cluster default is already sized by the operator.
-        Never raises the setting, so it is a no-op whenever the corpus
-        already out-splits the cores (any production-scale corpus)."""
+        Never raises an OPERATOR-set value, so it is a no-op whenever
+        the corpus already out-splits the cores (any production-scale
+        corpus); a value this tuner itself wrote earlier in the session
+        (marker conf below) may be re-tuned in either direction, so a
+        session that crawls a small corpus then a big one does not pin
+        the big corpus to the small one's split size."""
         k = self.config.scan_splits_per_core
         if not k or "://" in self.pages_path \
                 or not os.path.isdir(self.pages_path):
@@ -246,9 +257,12 @@ class CrawlEngine:
                 "spark.sql.files.maxPartitionBytes", "134217728"))
         except ValueError:
             cur = 134217728
-        if want < cur:
+        own = self.spark.conf.get(_TUNED_SPLIT_MARKER, None)
+        if want < cur or (own is not None
+                          and _parse_bytes_conf(own) == cur):
             self.spark.conf.set("spark.sql.files.maxPartitionBytes",
                                 str(want))
+            self.spark.conf.set(_TUNED_SPLIT_MARKER, str(want))
 
     # ------------------------------------------------------------------
     # robots dimension (distributed — no driver collect)

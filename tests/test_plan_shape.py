@@ -307,7 +307,9 @@ def test_scan_split_tuning_floors_udf_parallelism(spark, tmp_path):
     >= k x cores splits. It must only ever LOWER the setting — at
     cluster scale the operator's tuning wins untouched."""
     from adscraper_spark.config import CrawlConfig
-    from adscraper_spark.engine import CrawlEngine, _parse_bytes_conf
+    from adscraper_spark.engine import (
+        _TUNED_SPLIT_MARKER, CrawlEngine, _parse_bytes_conf,
+    )
 
     key = "spark.sql.files.maxPartitionBytes"
     orig = spark.conf.get(key)
@@ -333,9 +335,18 @@ def test_scan_split_tuning_floors_udf_parallelism(spark, tmp_path):
         assert after > before
         assert after >= min(cfg.scan_splits_per_core * par,
                             after)  # monotone improvement, floor-capped
-        # never raises: a conf already below the target stays put
+        # never raises an OPERATOR-set value: a manual conf below the
+        # target stays put (the tuner's marker no longer matches)
         spark.conf.set(key, str(2 << 20))
         CrawlEngine(spark, path, None, str(tmp_path / "w2"), cfg)
         assert _parse_bytes_conf(spark.conf.get(key)) == (2 << 20)
+        # but a value the tuner itself wrote MAY be re-tuned upward —
+        # a session crawling a small corpus then a big one must not pin
+        # the big corpus to the small one's split size
+        spark.conf.set(key, str(1 << 20))
+        spark.conf.set(_TUNED_SPLIT_MARKER, str(1 << 20))
+        CrawlEngine(spark, path, None, str(tmp_path / "w3"), cfg)
+        assert _parse_bytes_conf(spark.conf.get(key)) == tuned
     finally:
         spark.conf.set(key, orig)
+        spark.conf.unset(_TUNED_SPLIT_MARKER)
