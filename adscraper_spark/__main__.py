@@ -48,6 +48,13 @@ def _build_parser() -> argparse.ArgumentParser:
                         "this many rows are admitted (pending URLs "
                         "still drain)")
     c.add_argument("--salt-fanout", type=int, default=16)
+    c.add_argument("--scan-splits-per-core", type=int, default=3,
+                   help="lower spark.sql.files.maxPartitionBytes until "
+                        "the corpus scan yields at least this many "
+                        "splits per core (the no-exchange extraction "
+                        "stage inherits the scan's parallelism); "
+                        "0 disables, never raises an operator-set "
+                        "value")
     c.add_argument("--site-budget-seconds", type=float, default=None,
                    help="Z2 per-site virtual time budget per wave "
                         "(reference: 15-min site race, crawler.ts:80-97)")
@@ -180,6 +187,7 @@ def main(argv: list[str] | None = None) -> int:
                       max_urls=args.max_urls,
                       checkpoint_every=args.checkpoint_every,
                       salt_fanout=args.salt_fanout,
+                      scan_splits_per_core=args.scan_splits_per_core,
                       site_budget_seconds=args.site_budget_seconds,
                       compact_every=args.compact_every,
                       vacuum_every=args.vacuum_every,
