@@ -183,6 +183,14 @@ def gen_links(spec: CorpusSpec, h: int, j: int) -> list[str]:
     return targets
 
 
+# Bump whenever generated page CONTENT changes (not just size params):
+# consumers that cache a written corpus keyed by spec params (bench.py
+# roots, oracle artifacts) must include this so a stale on-disk corpus
+# from an older generator is never silently re-benched as the new one.
+# v2: round 5 — gen_html embeds full-EasyList-only ad/cookie divs.
+CORPUS_CONTENT_VERSION = 2
+
+
 def gen_html(spec: CorpusSpec, h: int, j: int) -> bytes:
     k = f"page|{h}|{j}"
     url = spec.page_url(h, j)

@@ -102,6 +102,9 @@ def _parse_bytes_conf(v: str) -> int:
 # may be re-tuned freely when a LATER engine in the same session opens a
 # different-sized corpus; an operator-set value is only ever lowered.
 _TUNED_SPLIT_MARKER = "spark.adscraper.tunedMaxPartitionBytes"
+# The operator/default value observed at the FIRST tune of the session —
+# the ceiling any later re-tune may restore up to (never beyond).
+_BASELINE_SPLIT_MARKER = "spark.adscraper.baselineMaxPartitionBytes"
 
 
 def fetch_join(pages: DataFrame, sched_cols: DataFrame, n_planned: int,
@@ -258,11 +261,23 @@ class CrawlEngine:
         except ValueError:
             cur = 134217728
         own = self.spark.conf.get(_TUNED_SPLIT_MARKER, None)
-        if want < cur or (own is not None
-                          and _parse_bytes_conf(own) == cur):
-            self.spark.conf.set("spark.sql.files.maxPartitionBytes",
-                                str(want))
-            self.spark.conf.set(_TUNED_SPLIT_MARKER, str(want))
+        if own is not None and _parse_bytes_conf(own) == cur:
+            # cur is a value this tuner wrote earlier in the session —
+            # re-tune freely, but never ABOVE the operator/default
+            # baseline recorded at first tune (a big corpus after a
+            # small one restores at most the original split size)
+            base = _parse_bytes_conf(self.spark.conf.get(
+                _BASELINE_SPLIT_MARKER, str(cur)))
+            want = min(want, base)
+        elif want >= cur:
+            return  # never raise an operator-set value
+        else:
+            # first tune this session: remember the operator/default
+            # value as the re-tune ceiling
+            self.spark.conf.set(_BASELINE_SPLIT_MARKER, str(cur))
+        self.spark.conf.set("spark.sql.files.maxPartitionBytes",
+                            str(want))
+        self.spark.conf.set(_TUNED_SPLIT_MARKER, str(want))
 
     # ------------------------------------------------------------------
     # robots dimension (distributed — no driver collect)

@@ -141,8 +141,13 @@ def full_lists_enabled() -> bool:
     """True (the default) = the vendored real EasyList snapshots are
     the detection surface, matching the reference loading its full
     checked-in lists (ad-detection.ts:14-21). The 81-selector pinned
-    subset remains as an opt-in fast tier for micro-tests."""
-    return not os.environ.get(_SUBSET_ONLY_ENV)
+    subset remains as an opt-in fast tier for micro-tests.
+    '0'/'false'/'no'/'' read as NOT opting into the subset — an
+    operator exporting PINNED_SUBSET=0 conventionally means 'full
+    lists', and raw truthiness would silently flip the detection
+    surface the other way."""
+    v = os.environ.get(_SUBSET_ONLY_ENV, "").strip().lower()
+    return v in ("", "0", "false", "no")
 
 
 def enable_full_lists() -> None:

@@ -49,9 +49,9 @@ FIND_SEED = 42
 # so each tier gets its own versioned directory. The tier is captured
 # at import — queries()/oracle_sql() and the SQL strings baked from
 # these paths must agree within one process.
-_LIST_MODE = "full"
-if os.environ.get("ADSCRAPER_SPARK_PINNED_SUBSET"):
-    _LIST_MODE = "subset"
+from .html import easylist as _easylist
+
+_LIST_MODE = "full" if _easylist.full_lists_enabled() else "subset"
 ROOT = os.path.join(
     tempfile.gettempdir(),
     f"adscraper_spark_oracle_v5_{_LIST_MODE}_{ORACLE_N_PAGES}"

@@ -344,12 +344,25 @@ class SnapshotTable:
                     continue
                 os.remove(p)
             except OSError:
+                # stat/remove failed (permissions, transient FS error):
+                # the manifest is (or may still be) present and
+                # readable, so its data files MUST stay live — falling
+                # through without sparing would orphan-delete the data
+                # of a snapshot that still lists it (fail open)
+                spared_by_age.append(sid)
                 continue
             removed_snapshots.append(sid)
         live_files: set[str] = set()
         for sid in list(keep) + spared_by_age:
             if sid in all_ids and sid not in removed_snapshots:
-                live_files.update(self.snapshot(sid).files)
+                try:
+                    live_files.update(self.snapshot(sid).files)
+                except FileNotFoundError:
+                    # manifest vanished between listing and open (a
+                    # concurrent vacuum won the race): any file it
+                    # shared with a retained snapshot is accumulated
+                    # via that snapshot's own manifest
+                    pass
         removed_dirs = 0
         data_root = os.path.join(self.path, "data")
         for name in os.listdir(data_root):

@@ -23,6 +23,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SCALE_LOW = int(os.environ.get("BENCH_SCALE_LOW", "8"))
 
+# Cached bench corpora in /tmp are keyed by size params AND generator
+# content version: when gen_html's output changes (e.g. round 5 added
+# full-EasyList-only ad/cookie divs) a stale corpus from an older
+# generator must never be silently re-benched as the new one.
+from adscraper_spark.corpus import CORPUS_CONTENT_VERSION as _CORPUS_V
+
 HEADLINE = [
     "q1_pricing_summary", "j1_region_revenue", "w1_host_priority_queue",
     "j5_unseen_anti_join", "z1_hourly_event_counts",
@@ -212,7 +218,8 @@ def bench_fetch_prune(spark, big_paths: dict[str, str]) -> dict:
         content_scale=big_spec.content_scale)
     root = os.path.join(
         tempfile.gettempdir(),
-        f"bench_prune_{PRUNE_SMALL_PAGES}_{CRAWL_PAGES}_{CRAWL_HOSTS}")
+        f"bench_prune_v{_CORPUS_V}_"
+        f"{PRUNE_SMALL_PAGES}_{CRAWL_PAGES}_{CRAWL_HOSTS}")
     small_dir = os.path.join(root, "small")
     small_bucketed = os.path.join(root, "small_bucketed")
     big_bucketed = os.path.join(root, "big_bucketed")
@@ -365,7 +372,8 @@ def bench_e2e_pair() -> dict:
     spec = CorpusSpec(n_pages=E2E_PAIR_PAGES, n_hosts=300, seed=42,
                       mega_host_weight=4.0, content_scale=E2E_PAIR_CS)
     root = os.path.join(tempfile.gettempdir(),
-                        f"bench_e2e_{E2E_PAIR_PAGES}_{E2E_PAIR_CS}")
+                        f"bench_e2e_v{_CORPUS_V}_"
+                        f"{E2E_PAIR_PAGES}_{E2E_PAIR_CS}")
     if not os.path.exists(os.path.join(root, "pages.parquet")):
         s = _session(CPUS)
         write_corpus_spark(s, spec, root, partitions=CPUS)
@@ -480,7 +488,7 @@ def main() -> None:
     t_total = time.time()
     corpus_root = os.path.join(
         tempfile.gettempdir(),
-        f"bench_corpus_{CRAWL_PAGES}_{CRAWL_HOSTS}")
+        f"bench_corpus_v{_CORPUS_V}_{CRAWL_PAGES}_{CRAWL_HOSTS}")
 
     # --- headline queries + corpus gen --------------------------------
     spark = _session(CPUS)

@@ -308,7 +308,8 @@ def test_scan_split_tuning_floors_udf_parallelism(spark, tmp_path):
     cluster scale the operator's tuning wins untouched."""
     from adscraper_spark.config import CrawlConfig
     from adscraper_spark.engine import (
-        _TUNED_SPLIT_MARKER, CrawlEngine, _parse_bytes_conf,
+        _BASELINE_SPLIT_MARKER, _TUNED_SPLIT_MARKER, CrawlEngine,
+        _parse_bytes_conf,
     )
 
     key = "spark.sql.files.maxPartitionBytes"
@@ -347,6 +348,18 @@ def test_scan_split_tuning_floors_udf_parallelism(spark, tmp_path):
         spark.conf.set(_TUNED_SPLIT_MARKER, str(1 << 20))
         CrawlEngine(spark, path, None, str(tmp_path / "w3"), cfg)
         assert _parse_bytes_conf(spark.conf.get(key)) == tuned
+        # ...and a re-tune can never exceed the session's pre-tune
+        # baseline, even when the wanted split size is larger: fake a
+        # huge per-core want by claiming the tuner owns a tiny value
+        # while the recorded baseline is small
+        spark.conf.set(_BASELINE_SPLIT_MARKER, str(4 << 20))
+        spark.conf.set(key, str(1 << 20))
+        spark.conf.set(_TUNED_SPLIT_MARKER, str(1 << 20))
+        big = CrawlConfig(max_waves=1, max_depth=0,
+                          scan_splits_per_core=1)  # want ≈ 5 MB > base
+        CrawlEngine(spark, path, None, str(tmp_path / "w4"), big)
+        assert _parse_bytes_conf(spark.conf.get(key)) == (4 << 20)
     finally:
         spark.conf.set(key, orig)
         spark.conf.unset(_TUNED_SPLIT_MARKER)
+        spark.conf.unset(_BASELINE_SPLIT_MARKER)

@@ -467,3 +467,34 @@ def test_unbucketed_append_caps_file_count(spark, tmp_path):
                                    "*.parquet"))
     assert 0 < len(files) <= par
     assert t.read(spark).count() == 2000
+
+
+def test_expire_manifest_remove_failure_fails_open(spark, tmp_path,
+                                                   monkeypatch):
+    """If removing an expired manifest FAILS (EPERM, transient FS
+    error), the snapshot is still present and readable — so its data
+    dirs must be treated as live. Falling through without sparing would
+    orphan-delete the data of a snapshot whose manifest survived (the
+    old code's failure mode)."""
+    import os as _os
+
+    from adscraper_spark import store as store_mod
+
+    t = SnapshotTable(str(tmp_path / "ff"))
+    for i in range(3):
+        t.append(spark.createDataFrame([(i,)], "a int"))
+
+    real_remove = store_mod.os.remove
+
+    def deny_snap1(path, *a, **kw):
+        if path.endswith("snap-1.json"):
+            raise PermissionError(13, "denied", path)
+        return real_remove(path, *a, **kw)
+
+    monkeypatch.setattr(store_mod.os, "remove", deny_snap1)
+    res = t.expire_snapshots(retain_last=1, min_age_seconds=0.0)
+    assert 1 not in res["removed_snapshots"]
+    # the undeletable manifest's snapshot stays fully readable: its
+    # data dir must NOT have been swept
+    assert sorted(r["a"] for r in t.read(spark, 1).collect()) == [0]
+    assert 2 in res["removed_snapshots"]
