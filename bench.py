@@ -345,8 +345,13 @@ def bench_kernel(corpus_paths: dict[str, str]) -> dict:
 
 E2E_PAIR_PAGES = int(os.environ.get("BENCH_E2E_PAGES", "48000"))
 E2E_PAIR_CS = int(os.environ.get("BENCH_E2E_CS", "128"))
-E2E_PAIR_SEEDS = int(os.environ.get("BENCH_E2E_SEEDS", "16000"))
-E2E_PAIR_TRIALS = int(os.environ.get("BENCH_E2E_TRIALS", "3"))
+# 24k seeds ≈ half the corpus in wave 1: big enough that the constant
+# per-wave driver latency (~4-6 s/run, core-count-independent) stops
+# distorting the hi side of the pair; 4 interleaved trials because the
+# 8-core side needs a quiet window 4× wider than the 2-core side on
+# this shared host.
+E2E_PAIR_SEEDS = int(os.environ.get("BENCH_E2E_SEEDS", "24000"))
+E2E_PAIR_TRIALS = int(os.environ.get("BENCH_E2E_TRIALS", "4"))
 
 
 def bench_e2e_pair() -> dict:
