@@ -480,6 +480,14 @@ class CrawlEngine:
                 "crawl already bootstrapped — resume with run(), or use a "
                 "fresh workdir (reference analog: crawl-name reuse check, "
                 "crawler.ts:229-283)")
+        # Same uncommitted-append window as run_wave: the seed append +
+        # bloom + event rows land before the wave-0 manifest, so a
+        # concurrent intake process must stage (not direct-fold) for
+        # the duration. _commit_wave(0, ...) retracts the marker.
+        with self._marker_mutex():
+            if not os.path.exists(self._window_marker):
+                with open(self._window_marker, "w") as f:
+                    f.write("bootstrap")
         uniq = self._seed_rows(seeds, wave_admitted=0)
         df = self._gated_seed_df(uniq).cache()
         n = df.count()
@@ -828,12 +836,16 @@ class CrawlEngine:
         cfg = self.config
         spark = self.spark
 
-        if not commit and not os.path.exists(self._window_marker):
-            # Publish the open window BEFORE any table append: a
-            # separate intake process must see it from this wave's very
-            # first uncommitted write, or its direct-fold would pin
-            # this wave's half-committed admissions into the previous
-            # manifest (the hazard the staging path exists to prevent).
+        if not os.path.exists(self._window_marker):
+            # Publish the open window BEFORE any table append — for
+            # EVERY wave, not just checkpoint-window (commit=False)
+            # ones: a commit=True wave also spends multi-second phases
+            # appending tables before its manifest lands, and a
+            # separate intake process must see the marker from this
+            # wave's very first uncommitted write, or its direct-fold
+            # would pin this wave's half-committed admissions into the
+            # previous manifest (the hazard the staging path exists to
+            # prevent). _commit_wave retracts it at the durable commit.
             # Under the mutex so an in-flight direct-fold (which
             # re-checks the marker under the same lock) either
             # completes before the window opens or diverts to staging.

@@ -6,6 +6,8 @@ JVM-only queries never drop into Python, the scheduler's two-phase
 top-k actually shards hot hosts.
 """
 
+import os
+
 from pyspark.sql import functions as F
 
 from adscraper_spark.pipelines import relational, text_quality
@@ -334,8 +336,15 @@ def test_scan_split_tuning_floors_udf_parallelism(spark, tmp_path):
         assert tuned < _parse_bytes_conf(orig)
         after = spark.read.parquet(path).rdd.getNumPartitions()
         assert after > before
-        assert after >= min(cfg.scan_splits_per_core * par,
-                            after)  # monotone improvement, floor-capped
+        # the tuned split size actually hits the k-splits-per-core
+        # target (up to the 4 MB task-overhead floor): a mis-computed
+        # `want` (e.g. total//k instead of total//(k*par)) fails here
+        total = sum(
+            os.path.getsize(os.path.join(dp, fn))
+            for dp, _d, fns in os.walk(path) for fn in fns
+            if fn.endswith(".parquet"))
+        assert tuned <= max(4 << 20,
+                            total // (cfg.scan_splits_per_core * par))
         # never raises an OPERATOR-set value: a manual conf below the
         # target stays put (the tuner's marker no longer matches)
         spark.conf.set(key, str(2 << 20))

@@ -75,6 +75,67 @@ def test_window_opening_during_gating_diverts_to_staging(
     os.remove(eng._window_marker)
 
 
+def test_default_commit_wave_keeps_marker_up_until_commit(
+        committed_engine, monkeypatch):
+    """A commit=True wave (the checkpoint_every=1 DEFAULT) also spends
+    multi-second phases appending tables before its manifest lands —
+    the window marker must be up for that whole span, or a concurrent
+    intake direct-fold pins the wave's uncommitted admitted append into
+    the previous manifest (replayed as duplicates after a crash
+    rollback). Regression test: the marker used to be published only
+    for commit=False waves."""
+    _spec, eng = committed_engine
+
+    seen_at_append = []
+    orig_append = eng.results.append
+
+    def observing_append(df):
+        seen_at_append.append(os.path.exists(eng._window_marker))
+        return orig_append(df)
+
+    monkeypatch.setattr(eng.results, "append", observing_append)
+
+    seen_at_commit = []
+    orig_commit = eng._commit_wave
+
+    def observing_commit(wave, stats):
+        seen_at_commit.append(os.path.exists(eng._window_marker))
+        return orig_commit(wave, stats)
+
+    monkeypatch.setattr(eng, "_commit_wave", observing_commit)
+    stats = eng.run_wave(2, commit=True)
+    assert stats["planned"] > 0
+    # marker was up during the mid-wave table append AND still up at
+    # commit time; _commit_wave retracted it with the durable manifest
+    assert seen_at_append and all(seen_at_append)
+    assert seen_at_commit == [True]
+    assert not os.path.exists(eng._window_marker)
+
+
+def test_bootstrap_keeps_marker_up_until_commit(spark, tmp_path,
+                                                monkeypatch):
+    """bootstrap() has the same uncommitted-append window before its
+    wave-0 manifest."""
+    spec = CorpusSpec(n_pages=60, n_hosts=4, seed=11)
+    paths = write_corpus_parquet(spec, str(tmp_path / "c"))
+    eng = CrawlEngine(spark, paths["pages"], paths["robots"],
+                      str(tmp_path / "w"),
+                      CrawlConfig(wave_seconds=10, max_waves=1))
+
+    seen_at_append = []
+    orig_append = eng.admitted.append
+
+    def observing_append(df):
+        seen_at_append.append(os.path.exists(eng._window_marker))
+        return orig_append(df)
+
+    monkeypatch.setattr(eng.admitted, "append", observing_append)
+    eng.bootstrap([(i, u) for i, u in
+                   enumerate(gen_seeds(spec, n_seeds=3))])
+    assert seen_at_append == [True]
+    assert not os.path.exists(eng._window_marker)
+
+
 def test_rollback_holds_marker_through_resets(committed_engine,
                                               monkeypatch):
     _spec, eng = committed_engine
