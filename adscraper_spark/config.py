@@ -26,6 +26,12 @@ class CrawlConfig:
                                      # admitted/processed log layout
     bloom_partitions: int = 8
     bloom_expected_per_partition: int = 100_000
+    # T3/Z3 seen-set prefilter structure: 'bloom' (10 bits/key, smallest)
+    # or 'cuckoo' (~17 bits/key, supports delete — recrawl expiry /
+    # retracting rolled-back admissions; cuckoo.py). Either way the
+    # filter is a pre-filter only; admission correctness comes from the
+    # exact anti-join (SURVEY §4.2).
+    seen_filter: str = "bloom"
     checkpoint_every: int = 1        # waves between durable checkpoints
     same_host_only: bool = True      # F4 link-admission filter
     # Z2 per-site time budget (reference: 15-min Promise.race per site,
@@ -101,6 +107,8 @@ class CrawlConfig:
         if self.salt_fanout < 1 or self.bloom_partitions < 1 \
                 or self.frontier_buckets < 1:
             raise ValueError("bad fan-out")
+        if self.seen_filter not in ("bloom", "cuckoo"):
+            raise ValueError("seen_filter must be 'bloom' or 'cuckoo'")
         if self.max_retries < 1:
             raise ValueError("max_retries must be >= 1")
         if self.checkpoint_every < 1:

@@ -47,7 +47,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .bloom import BloomStore, partition_for_host
+from .bloom import partition_for_host
+from .cuckoo import make_seen_store
 from .config import CrawlConfig
 from .corpus_layout import bucket_id_col, corpus_layout, prune_buckets
 from .extraction.udfs import extract_pages
@@ -183,7 +184,11 @@ class CrawlEngine:
         # against this
         self.crawl_meta = SnapshotTable(os.path.join(workdir,
                                                      "crawl_meta"))
-        self.bloom = BloomStore(
+        # 'bloom' by name for historical reasons; CrawlConfig.seen_filter
+        # picks the structure (BloomStore or the deletable CuckooStore —
+        # cuckoo.py), both with the same segment-store API.
+        self.bloom = make_seen_store(
+            self.config.seen_filter,
             os.path.join(workdir, "bloom"), self.config.bloom_partitions,
             self.config.bloom_expected_per_partition)
         # robots: tiny per-host dimension — kept as a DataFrame and
@@ -773,10 +778,11 @@ class CrawlEngine:
         bloom_root = self.bloom.root
         nparts = self.config.bloom_partitions
         expected = self.config.bloom_expected_per_partition
+        kind = self.config.seen_filter
 
         def upd(pdf: pd.DataFrame) -> pd.DataFrame:
-            from .bloom import BloomStore
-            store = BloomStore(bloom_root, nparts, expected)
+            from .cuckoo import make_seen_store
+            store = make_seen_store(kind, bloom_root, nparts, expected)
             p = int(pdf["bpart"].iloc[0])
             store.update_segment(p, wave, pdf["url"].tolist())
             return pd.DataFrame({"bpart": [p], "n": [len(pdf)]})
@@ -790,6 +796,43 @@ class CrawlEngine:
         keyed.groupBy("bpart").applyInPandas(
             upd, schema="bpart int, n long").collect()  # tiny: one row/part
 
+    def retract_seen(self, urls: DataFrame, wave: int) -> None:
+        """Delete (url, host) rows from the seen-filter segments —
+        recrawl-expiry / explicit-retraction primitive, cuckoo only
+        (bloom bits cannot be cleared). Distributed mirror of
+        ``_update_bloom_distributed``; caller must only retract URLs it
+        previously admitted (cuckoo.py delete soundness) and must pair
+        this with whatever admitted-log state change makes the URL
+        re-admittable — the filter is just the prefilter.
+
+        Deliberately NOT called by ``_rollback_to_last_commit``: a crash
+        between a retraction and the table reset would re-run the
+        retraction on resume and double-delete, stripping a surviving
+        key's colliding fingerprint (a false negative → duplicate
+        crawl). Orphan entries retained across rollback are in the safe
+        direction — they only cost exact-anti-join rows."""
+        if self.config.seen_filter != "cuckoo":
+            raise ValueError("retract_seen requires seen_filter='cuckoo'")
+        bloom_root = self.bloom.root
+        nparts = self.config.bloom_partitions
+        expected = self.config.bloom_expected_per_partition
+
+        def rm(pdf: pd.DataFrame) -> pd.DataFrame:
+            from .cuckoo import CuckooStore
+            store = CuckooStore(bloom_root, nparts, expected)
+            p = int(pdf["bpart"].iloc[0])
+            store.delete_segment_urls(p, wave, pdf["url"].tolist())
+            return pd.DataFrame({"bpart": [p], "n": [len(pdf)]})
+
+        keyed = urls.select("url", "host").mapInPandas(
+            lambda it: (pd.DataFrame({
+                "url": pdf["url"],
+                "bpart": [partition_for_host(h or "", nparts)
+                          for h in pdf["host"]]}) for pdf in it),
+            schema="url string, bpart int")
+        keyed.groupBy("bpart").applyInPandas(
+            rm, schema="bpart int, n long").collect()  # tiny: one row/part
+
     def _bloom_prefilter(self, cand: DataFrame, wave: int) -> DataFrame:
         """Split candidates into definitely-new (bloom miss → admit without
         the expensive anti-join) vs maybe-seen (bloom hit → exact
@@ -798,10 +841,11 @@ class CrawlEngine:
         bloom_root = self.bloom.root
         nparts = self.config.bloom_partitions
         expected = self.config.bloom_expected_per_partition
+        kind = self.config.seen_filter
 
         def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            from .bloom import BloomStore
-            store = BloomStore(bloom_root, nparts, expected)
+            from .cuckoo import make_seen_store
+            store = make_seen_store(kind, bloom_root, nparts, expected)
             cache: dict[int, object] = {}
             for pdf in batches:
                 hits = []
