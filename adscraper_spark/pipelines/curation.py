@@ -21,8 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .dedup import dedup_clusters, dedup_clusters_sql
-from .text_quality import lang_id, lang_id_sql, quality_score, \
-    quality_score_sql
+from .text_quality import lang_id_sql, lang_pred_cols, lang_score_cols, \
+    quality_cols, quality_score_sql
 
 QUALITY_KEEP_THRESHOLD = 0.5  # on the round(4) score — both engines
                               # compare the identically-rounded value,
@@ -31,12 +31,23 @@ QUALITY_KEEP_THRESHOLD = 0.5  # on the round(4) score — both engines
 
 def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     canon = dedup_clusters(spark, sf_dir).select("doc_id", "is_canonical")
-    q = quality_score(spark, sf_dir).select("doc_id", "quality")
-    lg = lang_id(spark, sf_dir).select("doc_id", "pred_lang")
+    # Quality + lang-ID are pure column algebra over the same table, so
+    # compute BOTH in one scan of `documents` and join only the dedup
+    # side — the previous three-way join scanned the full text twice
+    # and shuffled one extra doc_id join for features that never needed
+    # a shuffle at all. Output is identical (same expressions, same
+    # rounding); the oracle SQL keeps its per-operator CTE composition.
+    doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    text = F.col("text")
+    feats = (doc.select("doc_id",
+                        quality_cols(text)["quality"].alias("quality"),
+                        *lang_score_cols(text))
+             .select("doc_id", "quality",
+                     lang_pred_cols()[0].alias("pred_lang")))
     kept = (F.col("is_canonical")
             & (F.col("quality") >= QUALITY_KEEP_THRESHOLD)
             & (F.col("pred_lang") != "und"))
-    return (canon.join(q, "doc_id").join(lg, "doc_id")
+    return (canon.join(feats, "doc_id")
             .select("doc_id", "is_canonical", "quality", "pred_lang",
                     kept.alias("kept"))
             .orderBy("doc_id"))

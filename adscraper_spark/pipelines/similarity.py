@@ -218,17 +218,17 @@ FROM b GROUP BY bucket ORDER BY bucket
 def _band_rows(bucketed: DataFrame, bands: int = LSH_BANDS,
                bits: int = BITS_PER_BAND) -> DataFrame:
     """(vec_id, band, bkey) — one row per band, key = the band's bit
-    slice of the signature. No embedding payload rides the band join."""
-    parts = [
-        bucketed.select(
-            "vec_id", F.lit(b).alias("band"),
-            F.substring("bucket", b * bits + 1, bits).alias("bkey"))
-        for b in range(bands)
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+    slice of the signature. No embedding payload rides the band join.
+    One posexplode over an array of bit slices: the signature column
+    (bands × dim-length dot products) is evaluated ONCE per vector —
+    the previous unionAll-of-projections re-evaluated the full
+    hyperplane projection per band branch (4× per lineage path, 8× in
+    the self-join case), which dominated near_dup_lsh/ann_lsh_search
+    wall time on small corpora and is pure waste at any scale."""
+    keys = F.array(*[
+        F.substring("bucket", b * bits + 1, bits) for b in range(bands)])
+    return bucketed.select(
+        "vec_id", F.posexplode(keys).alias("band", "bkey"))
 
 
 def _bands_sql(dim: int) -> str:
@@ -248,7 +248,10 @@ def ann_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_planes, n_bands, bits = lsh_params(emb.count())
     bucketed = emb.select(
         "vec_id", _bucket_col(dim, n_planes=n_planes).alias("bucket"))
-    bands = _band_rows(bucketed, n_bands, bits)
+    # Two consumers (corpus side + broadcast query side): cache so the
+    # hyperplane projection runs once. Same logical plan every call →
+    # one cache entry, no growth (dedup.py:122-125 precedent).
+    bands = _band_rows(bucketed, n_bands, bits).cache()
     qbands = (bands.filter(F.col("vec_id") < N_QUERIES)
               .select(F.col("vec_id").alias("qid"), "band", "bkey"))
     cand = (bands.join(F.broadcast(qbands), ["band", "bkey"])
@@ -317,11 +320,23 @@ def near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed = emb.select(
         "vec_id", _bucket_col(dim, n_planes=n_planes).alias("bucket"))
     bands = _band_rows(bucketed, n_bands, bits)
-    left = bands.select(F.col("vec_id").alias("a"), "band", "bkey")
-    right = bands.select(F.col("vec_id").alias("b"), "band", "bkey")
-    cand = (left.join(right, ["band", "bkey"])
-            .filter(F.col("a") < F.col("b"))
-            .select("a", "b").distinct())
+    # Within-bucket pair expansion instead of a band-table self-join:
+    # ONE shuffle (the groupBy) and one signature evaluation, where the
+    # self-join shuffled both sides and re-derived the signature per
+    # side. Bucket sizes are bounded by lsh_params (≈LSH_TARGET_BUCKET
+    # members → ≤ ~31k pairs per bucket, JVM-side array math), so the
+    # collect_list never exceeds a constant independent of corpus size.
+    members = (bands.groupBy("band", "bkey")
+               .agg(F.array_sort(F.collect_list("vec_id")).alias("ms"))
+               .filter(F.size("ms") >= 2))
+    ms = F.col("ms")
+    pairs = F.flatten(F.transform(
+        ms, lambda x, i: F.transform(
+            F.slice(ms, i + F.lit(2), F.size(ms)),
+            lambda y: F.struct(x.alias("a"), y.alias("b")))))
+    cand = (members.select(F.explode(pairs).alias("p"))
+            .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .distinct())
     embn = _with_norm(emb)
     ea = embn.select(F.col("vec_id").alias("a"),
                      F.col("embedding").alias("va"),

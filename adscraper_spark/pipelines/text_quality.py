@@ -43,24 +43,38 @@ def _padded(col):
     return F.concat(F.lit(" "), col, F.lit(" "))
 
 
-def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-word language ID; argmax with language-name tie-break.
-    Scores per language = total marker-word occurrences."""
-    doc = _docs(spark, sf_dir)
-    padded = _padded(F.col("text"))
-    scores = [
+def lang_score_cols(text_col) -> list:
+    """Per-language marker-occurrence score columns (aliased
+    ``score_<lang>``) over an UNPADDED text column — the shared
+    building block for lang_id and the fused corpus_curation scan."""
+    padded = _padded(text_col)
+    return [
         sum(_occurrences(padded, f" {w} ") for w in words).alias(
             f"score_{lang}")
         for lang, words in LANG_MARKERS.items()
     ]
-    scored = doc.select("doc_id", "lang", *scores)
-    # argmax via greatest + case chain (stable under ties: first lang wins)
+
+
+def lang_pred_cols():
+    """(pred_lang, best) expressions over the ``score_<lang>`` columns
+    produced by lang_score_cols: argmax via greatest + case chain
+    (stable under ties: first lang wins)."""
     langs = list(LANG_MARKERS)
     best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
     pred = F.lit("und")
     for lg in reversed(langs):
         pred = F.when(F.col(f"score_{lg}") == best, F.lit(lg)).otherwise(pred)
     pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    return pred, best
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID; argmax with language-name tie-break.
+    Scores per language = total marker-word occurrences."""
+    doc = _docs(spark, sf_dir)
+    scored = doc.select("doc_id", "lang",
+                        *lang_score_cols(F.col("text")))
+    pred, best = lang_pred_cols()
     return (scored
             .select("doc_id", "lang", pred.alias("pred_lang"),
                     best.cast("long").alias("best_score"))
@@ -98,13 +112,10 @@ FROM b ORDER BY doc_id
 """
 
 
-def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic document quality: length, word count, stopword ratio,
-    punctuation density — the standard web-text filtering features
-    (C4/Gopher-style rules, public literature), pinned to an exact
-    cross-engine formula."""
-    doc = _docs(spark, sf_dir)
-    text = F.col("text")
+def quality_cols(text) -> dict:
+    """The C4/Gopher-style feature expressions over a text column,
+    keyed by output name — the shared building block for quality_score
+    and the fused corpus_curation scan."""
     padded = _padded(text)
     n_chars = F.length(text).cast("double")
     n_words = (_occurrences(text, " ") + 1).cast("double")
@@ -120,12 +131,23 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.lit(1.0)).otherwise(F.lit(0.0)) * 0.2
         + F.least(punct_ratio * 20.0, F.lit(1.0)) * 0.1
     )
+    return {
+        "n_chars_m": n_chars.cast("long"),
+        "n_words": n_words.cast("long"),
+        "stop_ratio": F.round(stop_ratio, 4),
+        "quality": F.round(score, 4),
+    }
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: length, word count, stopword ratio,
+    punctuation density — the standard web-text filtering features
+    (C4/Gopher-style rules, public literature), pinned to an exact
+    cross-engine formula."""
+    doc = _docs(spark, sf_dir)
+    cols = quality_cols(F.col("text"))
     return (doc.select(
-        "doc_id",
-        n_chars.cast("long").alias("n_chars_m"),
-        n_words.cast("long").alias("n_words"),
-        F.round(stop_ratio, 4).alias("stop_ratio"),
-        F.round(score, 4).alias("quality"))
+        "doc_id", *[c.alias(n) for n, c in cols.items()])
         .orderBy("doc_id"))
 
 

@@ -372,3 +372,35 @@ def test_scan_split_tuning_floors_udf_parallelism(spark, tmp_path):
         spark.conf.set(key, orig)
         spark.conf.unset(_TUNED_SPLIT_MARKER)
         spark.conf.unset(_BASELINE_SPLIT_MARKER)
+
+
+def test_simhash_single_tiny_shuffle(spark):
+    """SimHash: explode → ONE groupBy(doc_id) whose partial (map-side)
+    aggregate collapses each doc locally — exactly one hash exchange,
+    carrying #docs × 33 ints, never the token table. The old plan ran
+    a dedup groupBy(doc_id, tok) first, shuffling the FULL token
+    corpus before aggregating."""
+    from adscraper_spark.pipelines import dedup
+
+    df = dedup.simhash(spark, SF)
+    df.collect()
+    plan = _plan(df).split("Initial Plan")[0]
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_sum" in plan or "HashAggregate" in plan, plan
+    assert "EvalPython" not in plan
+
+
+def test_lsh_banding_single_generate(spark):
+    """_band_rows must emit all band keys from ONE evaluation of the
+    signature (posexplode over an array of bit slices) — never a
+    unionAll of per-band projections, which re-runs the full
+    hyperplane projection once per band per consumer."""
+    from adscraper_spark.pipelines import similarity
+
+    emb = similarity._emb(spark, SF)
+    dim = similarity._embedding_dim(emb)
+    bucketed = emb.select(
+        "vec_id", similarity._bucket_col(dim).alias("bucket"))
+    plan = _plan(similarity._band_rows(bucketed))
+    assert plan.count("Generate posexplode") == 1, plan
+    assert "Union" not in plan, plan
