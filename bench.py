@@ -44,6 +44,7 @@ HEADLINE = [
     "x10_stack_trace_urls", "t4_url_set_merge",
 ]
 
+SKEW_ROWS = int(os.environ.get("BENCH_SKEW_ROWS", "8000000"))
 CRAWL_PAGES = int(os.environ.get("BENCH_CRAWL_PAGES", "120000"))
 CRAWL_HOSTS = int(os.environ.get("BENCH_CRAWL_HOSTS", "400"))
 CRAWL_SEEDS = int(os.environ.get("BENCH_CRAWL_SEEDS", "30000"))
@@ -278,6 +279,73 @@ def bench_fetch_prune(spark, big_paths: dict[str, str]) -> dict:
     }
 
 
+def bench_skew(spark) -> dict:
+    """Hot-host skew A/B (north rule: 'salted-key shuffle strategy to
+    defuse hot-host skew'). One host owns 90% of a synthetic pending
+    frontier; ``plan_wave`` with salt_fanout=1 is literally the
+    unsalted ``Window.partitionBy(host)`` plan — the whole mega-host
+    lands in ONE task's sort — while the default fanout spreads it over
+    S shards before the tiny phase-2 re-rank. The two plans select the
+    identical wave (asserted via count + order-insensitive url hash in
+    the same agg job); only wall time differs. At a 10^10-URL frontier
+    the mega-host partition is the difference between one straggler
+    task sorting ~10^9 rows and S tasks sorting 10^9/S each."""
+    from pyspark.sql import functions as F
+
+    from adscraper_spark.scheduler import DEFAULT_SALT_FANOUT, plan_wave
+
+    n = SKEW_ROWS
+    host = (F.when(F.pmod(F.col("id"), F.lit(10)) < 9,
+                   F.lit("hot.example.com"))
+            .otherwise(F.concat(
+                F.lit("h"),
+                F.pmod(F.col("id"), F.lit(9973)).cast("string"),
+                F.lit(".example.com"))))
+    pending = (
+        spark.range(n)
+        .select(F.col("id"), host.alias("host"))
+        .select(F.concat(F.lit("https://"), F.col("host"), F.lit("/p/"),
+                         F.col("id").cast("string")).alias("url"),
+                "host",
+                F.lit(1.0).alias("priority"),
+                F.col("id").alias("seq"))
+        .cache())
+    pending.count()  # materialize once; both variants read the cache
+    budget = 100
+
+    def run(fanout: int) -> tuple[float, int, int]:
+        planned = plan_wave(pending, {}, budget, salt_fanout=fanout)
+        t0 = time.time()
+        # bit_xor: order-insensitive and overflow-free under ANSI mode
+        # (urls are unique, so xor-cancellation of duplicates is moot)
+        row = planned.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(url))").alias("h")).collect()[0]
+        return time.time() - t0, int(row["n"]), int(row["h"])
+
+    fan = DEFAULT_SALT_FANOUT
+    run(1), run(fan)  # warm (python workers, codegen)
+    best: dict[int, float] = {1: float("inf"), fan: float("inf")}
+    checks: dict[int, tuple[int, int]] = {}
+    for _ in range(3):  # interleaved best-of-3 per side
+        for f_ in (1, fan):
+            dt, cnt, h = run(f_)
+            best[f_] = min(best[f_], dt)
+            checks[f_] = (cnt, h)
+    pending.unpersist()
+    return {
+        "frontier_rows": n,
+        "hot_host_share": 0.9,
+        "budget": budget,
+        "salt_fanout": fan,
+        "unsalted_sec": round(best[1], 2),
+        "salted_sec": round(best[fan], 2),
+        "speedup": round(best[1] / best[fan], 2),
+        "planned_rows": checks[fan][0],
+        "identical_wave": checks[1] == checks[fan],
+    }
+
+
 def bench_kernel(corpus_paths: dict[str, str]) -> dict:
     """Scaling-efficiency evidence on the throughput-critical dataflow:
     scan → repartition → extraction UDF → link explode → normalize UDF →
@@ -509,6 +577,7 @@ def main() -> None:
         "robots": os.path.join(corpus_root, "robots.parquet"),
     }
     fetch_prune = bench_fetch_prune(spark, corpus_paths)
+    skew = bench_skew(spark)
     spark.stop()
 
     # --- crawls at two parallelism levels, each in a FRESH session ----
@@ -550,6 +619,7 @@ def main() -> None:
         "kernel_scaling": kernel,
         "e2e_pair": e2e_pair,
         "fetch_prune": fetch_prune,
+        "skew": skew,
         "query_variance": query_variance,
         "selector_index": bench_selector_index(),
         "total_bench_sec": round(time.time() - t_total, 1),
@@ -714,6 +784,32 @@ def _write_bench_md(r: dict) -> None:
         f"({r['fetch_prune']['prune_speedup_on_10x']}×) sits inside "
         "run noise; flatness is the evidence, the contrast grows with "
         "corpus bytes.",
+        "",
+        "## Hot-host skew: salted two-phase top-k A/B",
+        "",
+        "The north rule's 'salted-key shuffle strategy to defuse",
+        "hot-host skew', measured. A synthetic pending frontier of "
+        f"{r['skew']['frontier_rows']:,} rows where ONE host owns "
+        f"{int(r['skew']['hot_host_share'] * 100)}% of them; "
+        "`plan_wave` at salt_fanout=1 is the unsalted",
+        "`Window.partitionBy(host)` plan (the mega-host sorts in ONE",
+        f"task), vs the default salt_fanout={r['skew']['salt_fanout']} "
+        "two-phase top-k. Both plans",
+        "select the identical wave (count + order-insensitive url hash "
+        f"match: {r['skew']['identical_wave']}), best-of-3 interleaved:",
+        "",
+        "| plan | wall (s) |",
+        "| --- | --- |",
+        f"| unsalted (fanout 1) | {r['skew']['unsalted_sec']} |",
+        f"| salted (fanout {r['skew']['salt_fanout']}) | "
+        f"{r['skew']['salted_sec']} |",
+        "",
+        f"**{r['skew']['speedup']}× faster with salting** at this "
+        "sandbox size; the gap is the",
+        "single-straggler-task sort of the hot host, which grows",
+        "linearly with frontier size (at 10^10 URLs the unsalted plan",
+        "sorts ~10^9 rows in one task — the salted plan never builds a",
+        "per-task input larger than hot_rows/fanout).",
         "",
         "## UDF-stage exchange A/B (round 4, one-time measurement)",
         "",

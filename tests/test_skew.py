@@ -51,3 +51,38 @@ def test_salt_shard_balance_on_mega_host(spark):
              .groupBy("salt").count().collect()]
     assert len(sizes) == fanout
     assert max(sizes) / min(sizes) < 1.3
+
+def test_salted_and_unsalted_plans_select_identical_wave(spark):
+    """plan_wave at salt_fanout=1 (the unsalted Window.partitionBy(host)
+    funnel) and at the default fanout must select the exact same wave —
+    salting is a physical-plan change only. Same property the bench's
+    skew A/B asserts (bench.bench_skew), pinned here at test size."""
+    from pyspark.sql import functions as F
+
+    from adscraper_spark.scheduler import plan_wave
+
+    host = (F.when(F.pmod(F.col("id"), F.lit(10)) < 9,
+                   F.lit("hot.example.com"))
+            .otherwise(F.concat(F.lit("h"),
+                                F.pmod(F.col("id"), F.lit(97)).cast("string"),
+                                F.lit(".example.com"))))
+    pending = (spark.range(20_000)
+               .select(F.col("id"), host.alias("host"))
+               .select(F.concat(F.lit("https://"), F.col("host"),
+                                F.lit("/p/"),
+                                F.col("id").cast("string")).alias("url"),
+                       "host",
+                       # two priority tiers so the top-k ordering is
+                       # actually exercised, not just a row cap
+                       (F.pmod(F.col("id"), F.lit(3)) == 0)
+                       .cast("double").alias("priority"),
+                       F.col("id").alias("seq")))
+    budget = 25
+
+    def wave(fanout: int) -> list[tuple]:
+        return sorted(
+            (r["url"], r["host_rank"])
+            for r in plan_wave(pending, {}, budget,
+                               salt_fanout=fanout).collect())
+
+    assert wave(1) == wave(16)
