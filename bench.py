@@ -379,30 +379,48 @@ def bench_kernel(corpus_paths: dict[str, str]) -> dict:
     # then all of local[4N] would let one side sample only a noisy
     # phase and skew the ratio. Paired-in-time trials give both sides
     # the same weather; best-of-N per side damps the residue. The
-    # Fixed 6 paired trials, NO early stop: best-of-N per side is
-    # monotone toward the true quiet-machine minimum, so extra paired
-    # trials only sharpen the ratio — an early "stability" stop can
-    # freeze two equally-depressed trials from one noisy host phase as
-    # the artifact (observed: a 3-trial stop recorded 0.77-0.79 where
-    # the 6-trial estimate on the same box lands 0.85-0.89). The ~4
-    # extra minutes buy the criterion's evidence quality.
-    dts = {KERNEL_LOW: None, KERNEL_HIGH: None}
-    for trial in range(6):
+    # 6 fixed paired trials + up to 4 adaptive extras, NO early stop:
+    # best-of-N per side is monotone toward the true quiet-machine
+    # minimum, so extra paired trials only sharpen the ratio — an early
+    # "stability" stop can freeze two equally-depressed trials from one
+    # noisy host phase as the artifact (observed: a 3-trial stop
+    # recorded 0.77-0.79 where the 6-trial estimate on the same box
+    # lands 0.85-0.89). The extra minutes buy the criterion's evidence
+    # quality.
+    trials: dict[int, list[float]] = {KERNEL_LOW: [], KERNEL_HIGH: []}
+
+    def one_paired_trial() -> None:
         for cpus in (KERNEL_LOW, KERNEL_HIGH):
             spark = _session(cpus)
             kernel(spark, 60, cpus)  # warm workers/JIT on ~1/60 corpus
             os.sync()
             t0 = time.time()
             kernel(spark, 3, cpus)   # ~1/3 of corpus
-            dt = time.time() - t0
-            dts[cpus] = min(dts[cpus] or 1e9, dt)
+            trials[cpus].append(time.time() - t0)
             spark.stop()
             time.sleep(2)  # let the stopped JVM's disk flush settle
+
+    for trial in range(6):
+        one_paired_trial()
+    # Adaptive extension (still no early STOP — only more data): when a
+    # side's worst/best spread exceeds 25%, the host was in-and-out of
+    # noisy phases during the 6 trials and the noisier side's best may
+    # not have sampled a quiet window yet (observed: a loaded evening
+    # recorded 0.766 where the same box measures 0.84-0.91 quiet — the
+    # 8-core side needs 8 simultaneously-quiet cores, the 2-core side
+    # only 2, so steal depresses the ratio asymmetrically). Best-of is
+    # monotone, so the extra paired trials can only sharpen both mins.
+    for _ in range(4):
+        if all(max(v) / min(v) <= 1.25 for v in trials.values()):
+            break
+        one_paired_trial()
+    dts = {cpus: min(v) for cpus, v in trials.items()}
     out = {}
     for cpus in (KERNEL_LOW, KERNEL_HIGH):
         out[f"local[{cpus}]"] = {
             "wall_sec": round(dts[cpus], 2),
-            "pages_per_sec": round(n_pages_approx / dts[cpus], 1)}
+            "pages_per_sec": round(n_pages_approx / dts[cpus], 1),
+            "trial_walls": [round(t, 2) for t in trials[cpus]]}
     ratio = KERNEL_HIGH / KERNEL_LOW
     lo = out[f"local[{KERNEL_LOW}]"]["pages_per_sec"]
     hi = out[f"local[{KERNEL_HIGH}]"]["pages_per_sec"]
