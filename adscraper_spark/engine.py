@@ -173,10 +173,22 @@ class CrawlEngine:
         self.processed = SnapshotTable(os.path.join(workdir, "processed"),
                                        bucket_col="url",
                                        num_buckets=buckets)
-        self.results = SnapshotTable(os.path.join(workdir, "results"))
-        self.ads = SnapshotTable(os.path.join(workdir, "ads"))
-        self.requests = SnapshotTable(os.path.join(workdir, "requests"))
-        self.iframes = SnapshotTable(os.path.join(workdir, "iframes"))
+        # Analysis tables carry manifest min/max bounds (Iceberg
+        # manifest-entry lower/upper bounds analog, store.py): every
+        # wave appends with a literal `wave`, so each data dir's bound
+        # is exactly [w, w] and a wave- or host-range analysis read
+        # (`table.read(spark, where=("wave", lo, hi))`) skips every
+        # other wave's files without scanning them — at a 10^10-URL
+        # crawl with thousands of waves that is the difference between
+        # an incremental report and a full-table scan.
+        self.results = SnapshotTable(os.path.join(workdir, "results"),
+                                     stats_cols=["wave", "host"])
+        self.ads = SnapshotTable(os.path.join(workdir, "ads"),
+                                 stats_cols=["wave"])
+        self.requests = SnapshotTable(os.path.join(workdir, "requests"),
+                                      stats_cols=["wave"])
+        self.iframes = SnapshotTable(os.path.join(workdir, "iframes"),
+                                     stats_cols=["wave"])
         # job/crawl metadata dimension (adscraper.sql:3-27 job+crawl
         # tables): one 'bootstrapped' event row at seed admission, one
         # 'completed' row when the drain loop finishes undisturbed —

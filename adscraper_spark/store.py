@@ -29,6 +29,28 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _json_stat(v):
+    """Normalize a parquet footer statistic (or a query bound) to a
+    JSON-storable, consistently-comparable value; None = unsupported.
+    Datetimes become epoch microseconds (naive values are read as UTC
+    — footer stats and query bounds pass through the SAME conversion,
+    so comparisons stay internally consistent). String footer stats are
+    exact when present: parquet-cpp OMITS oversize binary statistics
+    (max_statistics_size) rather than truncating chunk-level min/max,
+    and omission shows up as has_min_max=False upstream."""
+    import datetime
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return int((v - datetime.datetime(1970, 1, 1)).total_seconds()
+                   * 1_000_000)
+    return None
+
+
 class CommitError(RuntimeError):
     pass
 
@@ -63,6 +85,16 @@ class Snapshot:
     snapshot_id: int
     files: list[str]
     properties: dict
+    # per data-dir column bounds: {dir: {col: [min, max]}} — Iceberg
+    # manifest-entry ``lower_bounds``/``upper_bounds`` analog. A dir is
+    # listed only for columns whose bounds are PROVEN complete (every
+    # row group in every part file carried footer min/max); absent ⇒
+    # unknown ⇒ a pruning read must keep the dir.
+    stats: dict = None  # type: ignore[assignment]
+
+    def __post_init__(self):
+        if self.stats is None:
+            self.stats = {}
 
     @property
     def empty(self) -> bool:
@@ -74,7 +106,8 @@ class SnapshotTable:
                  num_buckets: int = 32,
                  orphan_grace_seconds: float | None = None,
                  vacuum_min_age_seconds: float | None = None,
-                 vacuum_retain_last: int | None = None):
+                 vacuum_retain_last: int | None = None,
+                 stats_cols: list[str] | None = None):
         """``bucket_col``: hash-bucket every data write by this column
         (Iceberg ``bucket(N, col)`` partition-transform analog). The
         frontier logs bucket by ``url`` so the layout is stable and
@@ -94,6 +127,14 @@ class SnapshotTable:
         self.vacuum_retain_last = (
             VACUUM_RETAIN_LAST if vacuum_retain_last is None
             else vacuum_retain_last)
+        # Columns to carry min/max manifest bounds for (Iceberg
+        # ``write.metadata.metrics`` analog). Collected from parquet
+        # FOOTERS at commit time — driver-side metadata reads, no data
+        # scan — and used by ``read(where=...)`` to skip whole data
+        # dirs. At 10^10-frontier scale a ts/host-range analysis read
+        # over hundreds of per-wave appends touches only the waves
+        # whose bounds intersect.
+        self.stats_cols = list(stats_cols or [])
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
         os.makedirs(os.path.join(path, "meta"), exist_ok=True)
 
@@ -114,7 +155,8 @@ class SnapshotTable:
             return Snapshot(0, [], {})
         with open(os.path.join(self.path, "meta", f"snap-{sid}.json")) as f:
             doc = json.load(f)
-        return Snapshot(sid, doc["files"], doc.get("properties", {}))
+        return Snapshot(sid, doc["files"], doc.get("properties", {}),
+                        doc.get("stats", {}))
 
     def snapshots(self) -> list[int]:
         out = []
@@ -124,7 +166,8 @@ class SnapshotTable:
         return sorted(out)
 
     def _publish(self, files: list[str], properties: dict,
-                 expected_parent: int) -> int:
+                 expected_parent: int,
+                 stats: dict | None = None) -> int:
         """Optimistic-concurrency commit: fails if HEAD moved since the
         caller read it (Iceberg's compare-and-swap semantics). The CAS
         is the EXCLUSIVE CREATE of the snapshot manifest — a plain
@@ -143,8 +186,13 @@ class SnapshotTable:
         # is what lets a later committer safely adopt an orphan (writer
         # died between link and HEAD rename, _maybe_adopt_orphan).
         tmp = os.path.join(meta, f".snap.{uuid.uuid4().hex}")
+        doc = {"files": files, "properties": properties}
+        if stats:
+            # bounds only for dirs this snapshot still lists (keys are
+            # data-dir paths, so a replace drops stale entries for free)
+            doc["stats"] = {p: s for p, s in stats.items() if p in set(files)}
         with open(tmp, "w") as fh:
-            json.dump({"files": files, "properties": properties}, fh)
+            json.dump(doc, fh)
         try:
             os.link(tmp, snap_path)
         except FileExistsError:
@@ -218,12 +266,83 @@ class SnapshotTable:
         df.write.mode("overwrite").parquet(part)
         return [part]
 
+    def _footer_stats(self, dirs: list[str]) -> dict:
+        """Min/max bounds per data dir for ``stats_cols``, read from
+        parquet FOOTER metadata (pyarrow; driver-side, no data scan —
+        the files were just written by this process, so the footers are
+        page-cache-hot). A column is recorded for a dir only when EVERY
+        row group of EVERY part file carries min+max for it — a single
+        stats-less row group means unknown values, and an incomplete
+        bound must not prune. Values are kept JSON-clean: int/float/str
+        pass through, datetimes become epoch micros (same conversion is
+        applied to query bounds at prune time, so comparisons stay
+        consistent); anything else drops the column."""
+        if not self.stats_cols:
+            return {}
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:  # pragma: no cover - pyarrow is baked in
+            return {}
+        wanted = set(self.stats_cols)
+        out: dict = {}
+        for d in dirs:
+            lo: dict = {}
+            hi: dict = {}
+            complete = dict.fromkeys(wanted, True)
+            saw_rows = False
+            try:
+                names = sorted(os.listdir(d))
+            except OSError:
+                continue
+            for name in names:
+                if not name.endswith(".parquet"):
+                    continue
+                try:
+                    md = pq.ParquetFile(os.path.join(d, name)).metadata
+                except Exception:
+                    complete = dict.fromkeys(wanted, False)
+                    break
+                for rg in range(md.num_row_groups):
+                    row_group = md.row_group(rg)
+                    if row_group.num_rows == 0:
+                        continue
+                    saw_rows = True
+                    seen_here = set()
+                    for ci in range(row_group.num_columns):
+                        col = row_group.column(ci)
+                        cname = col.path_in_schema
+                        if cname not in wanted or not complete[cname]:
+                            continue
+                        st = col.statistics
+                        if st is None or not st.has_min_max:
+                            complete[cname] = False
+                            continue
+                        mn = _json_stat(st.min)
+                        mx = _json_stat(st.max)
+                        if mn is None or mx is None:
+                            complete[cname] = False
+                            continue
+                        seen_here.add(cname)
+                        if cname not in lo or mn < lo[cname]:
+                            lo[cname] = mn
+                        if cname not in hi or mx > hi[cname]:
+                            hi[cname] = mx
+                    for cname in wanted - seen_here:
+                        # column absent from this row group's schema
+                        complete[cname] = False
+            stats = {c: [lo[c], hi[c]] for c in wanted
+                     if saw_rows and complete[c] and c in lo}
+            if stats:
+                out[d] = stats
+        return out
+
     def append(self, df: DataFrame, properties: dict | None = None) -> int:
         """Appends are commutative, so a lost CAS retries against the
         new HEAD with the already-written data files (Iceberg's
         commit.retry semantics) — concurrent appenders to the same
         table (streamed seed intake vs the wave loop) both land."""
         files = self._write_data(df)
+        new_stats = self._footer_stats(files)
         last_err: CommitError | None = None
         for attempt in range(5):
             snap = self.snapshot()
@@ -231,7 +350,8 @@ class SnapshotTable:
             props.update(properties or {})
             try:
                 return self._publish(snap.files + files, props,
-                                     snap.snapshot_id)
+                                     snap.snapshot_id,
+                                     stats={**snap.stats, **new_stats})
             except CommitError as e:
                 last_err = e
                 # Back off until HEAD advances past the parent we lost
@@ -251,7 +371,8 @@ class SnapshotTable:
     def overwrite(self, df: DataFrame, properties: dict | None = None) -> int:
         snap = self.snapshot()
         files = self._write_data(df)
-        return self._publish(files, properties or {}, snap.snapshot_id)
+        return self._publish(files, properties or {}, snap.snapshot_id,
+                             stats=self._footer_stats(files))
 
     def commit_multi(self, appends: list[DataFrame] | None = None,
                      replace_with: DataFrame | None = None,
@@ -261,13 +382,17 @@ class SnapshotTable:
         """
         snap = self.snapshot()
         files = [] if replace_with is not None else list(snap.files)
+        new_dirs: list[str] = []
         if replace_with is not None:
-            files.extend(self._write_data(replace_with))
+            new_dirs.extend(self._write_data(replace_with))
         for df in appends or []:
-            files.extend(self._write_data(df))
+            new_dirs.extend(self._write_data(df))
+        files.extend(new_dirs)
         props = dict(snap.properties)
         props.update(properties or {})
-        return self._publish(files, props, snap.snapshot_id)
+        stats = {} if replace_with is not None else dict(snap.stats)
+        stats.update(self._footer_stats(new_dirs))
+        return self._publish(files, props, snap.snapshot_id, stats=stats)
 
     def compact(self, spark: SparkSession,
                 properties: dict | None = None) -> int | None:
@@ -286,14 +411,59 @@ class SnapshotTable:
         props = dict(snap.properties)
         props.update(properties or {})
         props["compacted_from_files"] = len(snap.files)
-        return self._publish(self._write_data(df), props, snap.snapshot_id)
+        files = self._write_data(df)
+        return self._publish(files, props, snap.snapshot_id,
+                             stats=self._footer_stats(files))
 
     def read(self, spark: SparkSession,
-             snapshot_id: int | None = None) -> DataFrame | None:
+             snapshot_id: int | None = None,
+             where: tuple | None = None) -> DataFrame | None:
+        """Read a snapshot. ``where=(col, lo, hi)`` (either bound may be
+        None) skips data dirs whose manifest bounds prove the inclusive
+        range can't match (Iceberg scan-planning file skipping), then
+        ALSO applies the predicate — stats only ever shrink the scan,
+        never change the result. Dirs without bounds for ``col`` are
+        kept (unknown ⇒ must read)."""
         snap = self.snapshot(snapshot_id)
         if snap.empty:
             return None
-        return spark.read.parquet(*snap.files)
+        files = snap.files
+        if where is not None:
+            files = self._prune_files(snap, *where)
+            if not files:
+                return None
+        df = spark.read.parquet(*files)
+        if where is not None:
+            col, lo, hi = where
+            if lo is not None:
+                df = df.filter(df[col] >= lo)
+            if hi is not None:
+                df = df.filter(df[col] <= hi)
+        return df
+
+    def _prune_files(self, snap: Snapshot, col: str, lo, hi) -> list[str]:
+        qlo = _json_stat(lo) if lo is not None else None
+        qhi = _json_stat(hi) if hi is not None else None
+        if (lo is not None and qlo is None) or (hi is not None and qhi is None):
+            return list(snap.files)  # unsupported bound type: no pruning
+        keep = []
+        for f in snap.files:
+            b = snap.stats.get(f, {}).get(col)
+            if b is None:
+                keep.append(f)
+                continue
+            fmin, fmax = b
+            if qlo is not None and type(qlo) is not type(fmin):
+                keep.append(f)  # mixed types: bounds not comparable
+                continue
+            if qhi is not None and type(qhi) is not type(fmax):
+                keep.append(f)
+                continue
+            if (qlo is not None and fmax < qlo) or \
+                    (qhi is not None and fmin > qhi):
+                continue  # provably disjoint
+            keep.append(f)
+        return keep
 
     def expire_snapshots(self, retain_ids: set[int] | None = None,
                          retain_last: int | None = None,

@@ -498,3 +498,94 @@ def test_expire_manifest_remove_failure_fails_open(spark, tmp_path,
     # data dir must NOT have been swept
     assert sorted(r["a"] for r in t.read(spark, 1).collect()) == [0]
     assert 2 in res["removed_snapshots"]
+
+
+# -- manifest column stats + file-skipping reads -------------------------
+
+def test_manifest_stats_prune_and_match_full_scan(spark, tmp_path):
+    """Iceberg lower/upper-bounds analog: per-dir footer min/max land in
+    the manifest and read(where=) skips provably-disjoint dirs while
+    returning exactly what a full scan + filter returns."""
+    t = SnapshotTable(str(tmp_path / "ts"), stats_cols=["wave", "host"])
+    for w, hosts in [(1, ["a.com", "b.com"]), (2, ["c.com"]),
+                     (3, ["d.com", "e.com"])]:
+        t.append(spark.createDataFrame(
+            [(w, h, f"u{w}{h}") for h in hosts],
+            "wave int, host string, url string"))
+    snap = t.snapshot()
+    assert len(snap.files) == 3
+    # every dir has exact [w, w] bounds for the literal wave column
+    assert sorted(snap.stats[f]["wave"] for f in snap.files) == [
+        [1, 1], [2, 2], [3, 3]]
+    # pruning: wave==2 touches one dir
+    assert len(t._prune_files(snap, "wave", 2, 2)) == 1
+    # range pruning: waves 2..3 touch two dirs
+    assert len(t._prune_files(snap, "wave", 2, None)) == 2
+    # string bounds prune too
+    assert len(t._prune_files(snap, "host", "c.com", "c.zzz")) == 1
+    # results identical to full scan + filter
+    full = {r["url"] for r in t.read(spark).filter("wave >= 2").collect()}
+    pruned = {r["url"] for r in t.read(spark,
+                                       where=("wave", 2, None)).collect()}
+    assert pruned == full
+    # disjoint range: no files → None (empty result, no scan at all)
+    assert t.read(spark, where=("wave", 9, None)) is None
+
+
+def test_manifest_stats_survive_merge_replace_compact(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "tm"), stats_cols=["wave"])
+    t.append(spark.createDataFrame([(1,)], "wave int"))
+    t.append(spark.createDataFrame([(2,)], "wave int"))
+    snap = t.snapshot()
+    assert len(snap.stats) == 2  # append merges parent stats
+    # compaction folds dirs and recomputes bounds over the single dir
+    t.compact(spark)
+    snap = t.snapshot()
+    assert len(snap.files) == 1
+    assert snap.stats[snap.files[0]]["wave"] == [1, 2]
+    # replace drops stale bounds
+    t.commit_multi(replace_with=spark.createDataFrame([(7,)], "wave int"))
+    snap = t.snapshot()
+    assert list(snap.stats.values()) == [{"wave": [7, 7]}]
+
+
+def test_stats_absent_column_never_prunes(spark, tmp_path):
+    """A dir with no bounds for the filter column must be read (unknown
+    ⇒ keep), and unsupported bound types disable pruning entirely."""
+    t = SnapshotTable(str(tmp_path / "tn"), stats_cols=["wave"])
+    t.append(spark.createDataFrame([(1, "x")], "wave int, host string"))
+    snap = t.snapshot()
+    # host was never a stats col: filter on it keeps everything
+    assert t._prune_files(snap, "host", "a", "b") == snap.files
+    # unsupported bound type (list) keeps everything
+    assert t._prune_files(snap, "wave", [1], None) == snap.files
+    # stats-free legacy table (no stats in manifest) keeps everything
+    legacy = SnapshotTable(str(tmp_path / "tl"))
+    legacy.append(spark.createDataFrame([(5,)], "wave int"))
+    lsnap = legacy.snapshot()
+    assert lsnap.stats == {}
+    assert legacy._prune_files(lsnap, "wave", 9, 9) == lsnap.files
+
+
+def test_engine_results_table_prunes_by_wave(spark, small_setup,
+                                             tmp_path_factory):
+    """The engine's per-wave literal `wave` column gives each results
+    append exact [w, w] manifest bounds, so a wave-range analysis read
+    skips every other wave's data dirs."""
+    spec, paths, cfg, seeds = small_setup
+    work = str(tmp_path_factory.mktemp("stats_e2e"))
+    eng = CrawlEngine(spark, paths["pages"], paths["robots"], work, cfg)
+    eng.bootstrap(seeds)
+    eng.run()
+    snap = eng.results.snapshot()
+    waves = sorted(b["wave"][0] for f, b in snap.stats.items()
+                   if "wave" in b)
+    assert len(waves) >= 2  # multi-wave crawl, one bounded dir per wave
+    target = waves[-1]
+    pruned = eng.results._prune_files(snap, "wave", target, target)
+    assert 0 < len(pruned) < len(snap.files)
+    got = {r["url"] for r in eng.results.read(
+        spark, where=("wave", target, target)).collect()}
+    want = {r["url"] for r in eng.results.read(spark)
+            .filter(f"wave = {target}").collect()}
+    assert got == want and got
