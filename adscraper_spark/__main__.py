@@ -90,6 +90,19 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="fast tier: detect with only the 81-selector "
                         "pinned subset instead of the real EasyList "
                         "snapshots (micro-tests/benchmarks)")
+    c.add_argument("--crawl-name", default=None,
+                   help="open a per-crawl log file at "
+                        "<workdir>/logs[/job_<job-id>]/<name>.txt "
+                        "(util/log.ts setLogDirFromFlags analog); "
+                        "without it no log file is written, like the "
+                        "reference")
+    c.add_argument("--job-id", default=None,
+                   help="job id segment for the log dir (log.ts:41-43)")
+    c.add_argument("--log-level", default="INFO",
+                   choices=("ERROR", "WARNING", "INFO", "DEBUG",
+                            "VERBOSE"),
+                   help="DEBUG/VERBOSE lines are gated; "
+                        "ERROR/WARNING/INFO always land (log.ts:53-129)")
     c.add_argument("--cpus", type=int, default=None)
     g = sub.add_parser("gen-corpus", help="write a synthetic corpus")
     g.add_argument("--out", required=True)
@@ -185,7 +198,8 @@ def main(argv: list[str] | None = None) -> int:
 
         easylist.enable_full_lists()  # the default; kept for compat
     spark = build_session(cpus=args.cpus)
-    cfg = CrawlConfig(max_waves=args.max_waves, max_depth=args.max_depth,
+    cfg = CrawlConfig(name=args.crawl_name or "crawl",
+                      max_waves=args.max_waves, max_depth=args.max_depth,
                       wave_seconds=args.wave_seconds,
                       default_budget=args.default_budget,
                       max_retries=args.max_retries,
@@ -200,7 +214,14 @@ def main(argv: list[str] | None = None) -> int:
                       admit_ad_landings=args.admit_ad_landings,
                       max_ad_landings_per_page=args.max_ad_landings_per_page,
                       refresh_mains=args.refresh_mains)
-    eng = CrawlEngine(spark, args.pages, args.robots, args.workdir, cfg)
+    log = None
+    if args.crawl_name:
+        from .crawl_log import CrawlLog
+
+        log = CrawlLog(args.workdir, crawl_name=args.crawl_name,
+                       job_id=args.job_id, level=args.log_level)
+    eng = CrawlEngine(spark, args.pages, args.robots, args.workdir, cfg,
+                      log=log)
     resuming = eng.last_committed_wave() >= 0
     if not resuming:
         if args.crawl_list:
@@ -236,6 +257,8 @@ def main(argv: list[str] | None = None) -> int:
             signal.signal(s, h)
     print(json.dumps({"resumed": resuming, "drained": stop["flag"],
                       "waves": stats}))
+    if log is not None:
+        log.close()
     spark.stop()
     return 128 + stop["sig"] if stop["flag"] else 0
 

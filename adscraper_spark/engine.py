@@ -151,9 +151,15 @@ def _seed_state_batches(batches: Iterator[pd.DataFrame]
 class CrawlEngine:
     def __init__(self, spark: SparkSession, pages_path: str,
                  robots_path: str | None, workdir: str,
-                 config: CrawlConfig | None = None):
+                 config: CrawlConfig | None = None,
+                 log=None):
         self.spark = spark
         self.config = config or CrawlConfig()
+        # Per-crawl operational log (util/log.ts analog, crawl_log.py):
+        # None = no log file, exactly like the reference when
+        # setLogDirFromFlags was never called.
+        from .crawl_log import NullCrawlLog
+        self.log = log if log is not None else NullCrawlLog()
         self.pages_path = pages_path
         # Bucketed-corpus layout marker (corpus_layout.bucketize_corpus):
         # when present, each wave's fetch scan is pruned to the wave's
@@ -513,6 +519,8 @@ class CrawlEngine:
         df.unpersist()
         self._append_crawl_event("bootstrapped", wave=0, n_seeds=n)
         self._commit_wave(0, {"seeds": n})
+        self.log.info(f"Bootstrapped crawl ({self.config.name}): "
+                      f"{n} seeds admitted")
         return n
 
     def _append_crawl_event(self, event: str, wave: int,
@@ -1320,6 +1328,10 @@ class CrawlEngine:
         last = self._rollback_to_last_commit()
         if last < 0:
             raise RuntimeError("bootstrap() before run()")
+        if last > 0:
+            # crawler.ts:265-269 resume message analog
+            self.log.info(f"Resuming crawl ({self.config.name}) from "
+                          f"last committed wave {last}")
         horizon = max_waves if max_waves is not None else self.config.max_waves
         ce = max(1, self.config.checkpoint_every)
         out = []
@@ -1337,6 +1349,16 @@ class CrawlEngine:
                 drained = True
                 break
             out.append({"wave": wave, **stats})
+            self.log.info(f"Wave {wave}: planned={stats.get('planned')} "
+                          f"fetched={stats.get('fetched')} "
+                          f"errors={stats.get('errors')} "
+                          f"admitted={stats.get('admitted')}")
+            if stats.get("errors"):
+                # the reference logs each failed navigation at ERROR
+                # (crawler.ts:319-339); per-URL detail lives in the
+                # results table's error rows — this is the summary
+                self.log.warning(f"Wave {wave}: {stats['errors']} fetch "
+                                 "error(s); see results table error rows")
             # Frontier-log maintenance (Iceberg rewrite_data_files
             # analog): every K waves fold the accumulated per-wave
             # append files of the two anti-join inputs back into
@@ -1371,6 +1393,16 @@ class CrawlEngine:
             self._append_crawl_event(
                 "completed" if drained else "horizon",
                 wave=self.last_committed_wave())
+            # crawler.ts:257 "crawl ... is already completed" family
+            self.log.info(
+                f"Crawl ({self.config.name}) "
+                + ("completed: frontier drained"
+                   if drained else
+                   f"stopped at horizon (wave {self.last_committed_wave()})"))
+        else:
+            self.log.info(f"Crawl ({self.config.name}) drain requested — "
+                          "exiting after atomic wave commit "
+                          "(k8s-indexed-job-worker.ts:30-53)")
         return out
 
     # ------------------------------------------------------------------
