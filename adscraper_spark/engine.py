@@ -86,7 +86,8 @@ def _norm_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 _BYTE_SUFFIXES = {"b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20,
-                  "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30}
+                  "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30,
+                  "t": 1 << 40, "tb": 1 << 40, "p": 1 << 50, "pb": 1 << 50}
 
 
 def _parse_bytes_conf(v: str) -> int:
@@ -262,6 +263,11 @@ class CrawlEngine:
         k = self.config.scan_splits_per_core
         if not k or "://" in self.pages_path \
                 or not os.path.isdir(self.pages_path):
+            # no tune for this corpus — but if a previous engine in the
+            # session tuned the conf DOWN for its own (smaller) corpus,
+            # that value must not leak here: restore the recorded
+            # operator/default baseline before bowing out.
+            self._restore_split_baseline()
             return
         total = 0
         for dirpath, _dirs, files in os.walk(self.pages_path):
@@ -275,14 +281,19 @@ class CrawlEngine:
         par = self.spark.sparkContext.defaultParallelism
         if total < (16 << 20) or not par:
             # tiny corpus: task overhead beats parallelism; leave the
-            # session conf alone (also keeps shared test sessions clean)
+            # operator conf alone (also keeps shared test sessions
+            # clean) — after un-pinning any stale tuner value
+            self._restore_split_baseline()
             return
         want = max(4 << 20, total // (k * par))
         try:
             cur = _parse_bytes_conf(self.spark.conf.get(
                 "spark.sql.files.maxPartitionBytes", "134217728"))
         except ValueError:
-            cur = 134217728
+            # unparseable operator value (future Spark suffix?): the
+            # 'never touch an operator-set value' contract beats the
+            # tune — do nothing rather than guess it equals the default
+            return
         own = self.spark.conf.get(_TUNED_SPLIT_MARKER, None)
         if own is not None and _parse_bytes_conf(own) == cur:
             # cur is a value this tuner wrote earlier in the session —
@@ -301,6 +312,28 @@ class CrawlEngine:
         self.spark.conf.set("spark.sql.files.maxPartitionBytes",
                             str(want))
         self.spark.conf.set(_TUNED_SPLIT_MARKER, str(want))
+
+    def _restore_split_baseline(self) -> None:
+        """If maxPartitionBytes currently holds a value THIS tuner wrote
+        for an earlier corpus, put back the operator/default baseline
+        recorded at first tune. No-op when the value is operator-set
+        (marker mismatch) or nothing was ever tuned."""
+        own = self.spark.conf.get(_TUNED_SPLIT_MARKER, None)
+        if own is None:
+            return
+        try:
+            cur = _parse_bytes_conf(self.spark.conf.get(
+                "spark.sql.files.maxPartitionBytes", "134217728"))
+            tuned = _parse_bytes_conf(own)
+        except ValueError:
+            return
+        if tuned != cur:
+            return  # operator overwrote it since — theirs wins
+        base = self.spark.conf.get(_BASELINE_SPLIT_MARKER, None)
+        if base is not None:
+            self.spark.conf.set(
+                "spark.sql.files.maxPartitionBytes", base)
+        self.spark.conf.unset(_TUNED_SPLIT_MARKER)
 
     # ------------------------------------------------------------------
     # robots dimension (distributed — no driver collect)
@@ -608,6 +641,16 @@ class CrawlEngine:
         if not n_new:
             gated.unpersist()
             return 0
+        # Seen-filter update BEFORE the durable manifest fold: a crash
+        # between the two must err as a filter false POSITIVE (extra key
+        # → extra exact-anti-join work), never a false negative (the
+        # fold below makes the admitted rows durable immediately, and a
+        # row durably admitted but absent from the filter would probe
+        # 'fresh', skip the anti-join, and be crawled twice). If the
+        # fold diverts to staging instead, these keys describe
+        # staged-not-yet-admitted URLs — also the safe direction, and
+        # the drain's own filter update is an idempotent re-insert.
+        self._update_bloom_distributed(gated, wave)
         diverted = False
         with self._marker_mutex():
             # Re-check under the lock: the gating jobs above ran for
@@ -647,7 +690,6 @@ class CrawlEngine:
             # gate (Spark work outside the lock — a wave's marker write
             # must not wait on a staging write)
             return self._stage_late_seeds(df)
-        self._update_bloom_distributed(gated, wave)
         gated.unpersist()
         return n_new
 
@@ -734,8 +776,8 @@ class CrawlEngine:
         return n
 
     # ------------------------------------------------------------------
-    def vacuum(self, retain_last: int = 2,
-               min_age_seconds: float = 60.0) -> dict:
+    def vacuum(self, retain_last: int | None = None,
+               min_age_seconds: float | None = None) -> dict:
         """Table maintenance (Iceberg expire_snapshots +
         remove_orphan_files analog): every wave appends a snapshot per
         table and every compaction/rollback strands predecessors —
@@ -745,7 +787,17 @@ class CrawlEngine:
         _rollback_to_last_commit never reaches further back), the
         late-seed drain pin (read_since diffs against its manifest),
         anything ahead of HEAD (in-flight publishes), and the
-        ``retain_last`` most recent as slack."""
+        ``retain_last`` most recent as slack.
+
+        Defaults defer to the store's configured retention
+        (``ADSCRAPER_SPARK_VACUUM_MIN_AGE`` / ``_RETAIN_LAST`` env or
+        per-table parameters) so an operator who raised the grace for
+        an object store is honored on the engine's own vacuum path too;
+        the engine only floors retain_last at 2 (one extra snapshot of
+        slack beyond the store default's 1)."""
+        from .store import VACUUM_RETAIN_LAST
+        if retain_last is None:
+            retain_last = max(2, VACUUM_RETAIN_LAST)
         pins: dict[str, int] = {}
         last = self.last_committed_wave()
         if last >= 0:

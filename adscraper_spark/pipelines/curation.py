@@ -21,8 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .dedup import dedup_clusters, dedup_clusters_sql
-from .text_quality import lang_id_sql, lang_pred_cols, lang_score_cols, \
-    quality_cols, quality_score_sql
+from .text_quality import _docs, lang_id_sql, lang_pred_cols, \
+    lang_score_cols, quality_cols, quality_score_sql
 
 QUALITY_KEEP_THRESHOLD = 0.5  # on the round(4) score — both engines
                               # compare the identically-rounded value,
@@ -37,7 +37,7 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and shuffled one extra doc_id join for features that never needed
     # a shuffle at all. Output is identical (same expressions, same
     # rounding); the oracle SQL keeps its per-operator CTE composition.
-    doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    doc = _docs(spark, sf_dir)  # same reader as lang_id/quality_score
     text = F.col("text")
     feats = (doc.select("doc_id",
                         quality_cols(text)["quality"].alias("quality"),

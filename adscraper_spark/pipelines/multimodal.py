@@ -253,7 +253,7 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-MEDIA_FEATURES_SQL = _MEDIA_CTE + """
+MEDIA_FEATURES_SQL = _MEDIA_CTE + f"""
 , b AS (
   SELECT doc_id, media_type, is_img, h,
          unnest(string_split_regex(body, '')) AS ch
@@ -264,7 +264,7 @@ SELECT doc_id, media_type,
        round(avg(ord(ch)), 4) AS byte_mean,
        CAST(min(ord(ch)) AS DOUBLE) AS byte_min,
        CAST(max(ord(ch)) AS DOUBLE) AS byte_max,
-       CAST(CASE WHEN is_img THEN 16 ELSE 0 END AS DOUBLE) AS width,
+       CAST(CASE WHEN is_img THEN {IMG_W} ELSE 0 END AS DOUBLE) AS width,
        CAST(CASE WHEN is_img THEN h ELSE 0 END AS DOUBLE) AS height
 FROM b GROUP BY doc_id, media_type, is_img, h ORDER BY doc_id
 """

@@ -323,19 +323,24 @@ def near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Within-bucket pair expansion instead of a band-table self-join:
     # ONE shuffle (the groupBy) and one signature evaluation, where the
     # self-join shuffled both sides and re-derived the signature per
-    # side. Bucket sizes are bounded by lsh_params (≈LSH_TARGET_BUCKET
-    # members → ≤ ~31k pairs per bucket, JVM-side array math), so the
-    # collect_list never exceeds a constant independent of corpus size.
+    # side. lsh_params bounds the EXPECTED bucket at ≈LSH_TARGET_BUCKET
+    # members, but duplicate-heavy data (the very workload near-dup
+    # targets) can put m >> that into one bucket regardless of bits —
+    # so the expansion must never build the m(m-1)/2 pairs inside one
+    # row. Two chained generators keep per-row memory O(m): posexplode
+    # picks the left element, the second explode streams its tail
+    # slice; both sit in one whole-stage-codegen pipeline, so the
+    # pair rows stream straight into the distinct's exchange exactly
+    # like self-join output would, without a single mega-array row
+    # (arrays cap at 2^31 elements — m≈10^5 dupes would overflow it).
     members = (bands.groupBy("band", "bkey")
                .agg(F.array_sort(F.collect_list("vec_id")).alias("ms"))
                .filter(F.size("ms") >= 2))
-    ms = F.col("ms")
-    pairs = F.flatten(F.transform(
-        ms, lambda x, i: F.transform(
-            F.slice(ms, i + F.lit(2), F.size(ms)),
-            lambda y: F.struct(x.alias("a"), y.alias("b")))))
-    cand = (members.select(F.explode(pairs).alias("p"))
-            .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    cand = (members
+            .select(F.posexplode("ms").alias("i", "a"), "ms")
+            .select(F.col("a"), F.explode(
+                F.slice("ms", F.col("i") + F.lit(2), F.size("ms")))
+                .alias("b"))
             .distinct())
     embn = _with_norm(emb)
     ea = embn.select(F.col("vec_id").alias("a"),

@@ -368,6 +368,30 @@ def test_scan_split_tuning_floors_udf_parallelism(spark, tmp_path):
                           scan_splits_per_core=1)  # want ≈ 5 MB > base
         CrawlEngine(spark, path, None, str(tmp_path / "w4"), big)
         assert _parse_bytes_conf(spark.conf.get(key)) == (4 << 20)
+        # a later engine whose corpus is NOT tunable (tiny here; remote
+        # schemes take the same early-return) must RESTORE the recorded
+        # baseline instead of inheriting the previous corpus's
+        # tuned-down split size — regression: the early returns used to
+        # skip the restore, pinning every later corpus to 4 MB splits
+        spark.conf.set(key, str(1 << 20))
+        spark.conf.set(_TUNED_SPLIT_MARKER, str(1 << 20))
+        spark.conf.set(_BASELINE_SPLIT_MARKER, str(64 << 20))
+        tiny = str(tmp_path / "tinypages")
+        spark.range(10).select(
+            F.concat(F.lit("https://h.test/"), "id").alias("url"),
+            F.lit("x").alias("html"), F.lit("ts").alias("warc_ts"),
+            F.lit("en").alias("lang")).coalesce(1).write.parquet(tiny)
+        CrawlEngine(spark, tiny, None, str(tmp_path / "w5"), cfg)
+        assert _parse_bytes_conf(spark.conf.get(key)) == (64 << 20)
+        assert spark.conf.get(_TUNED_SPLIT_MARKER, None) is None
+        # ...but an operator value is left alone even on that path
+        spark.conf.set(key, str(3 << 20))
+        CrawlEngine(spark, tiny, None, str(tmp_path / "w6"), cfg)
+        assert _parse_bytes_conf(spark.conf.get(key)) == (3 << 20)
+        # Spark's full byte-suffix grammar parses (operator '1t' must
+        # not be misread as the 128 MB default and then 'lowered')
+        assert _parse_bytes_conf("1t") == 1 << 40
+        assert _parse_bytes_conf("2pb") == 2 << 50
     finally:
         spark.conf.set(key, orig)
         spark.conf.unset(_TUNED_SPLIT_MARKER)

@@ -200,3 +200,35 @@ def test_vacuum_defaults_come_from_table_config(spark, tmp_path,
     finally:
         monkeypatch.undo()
         importlib.reload(store_mod)
+
+
+def test_seen_filter_update_precedes_durable_fold(
+        spark, committed_engine, monkeypatch):
+    """Ordering invariant of the direct-fold intake: the seen-filter
+    update must land BEFORE the append+manifest-fold makes the rows
+    durable. A crash between a durable fold and a not-yet-run filter
+    update leaves a durably-admitted URL absent from the filter — it
+    probes 'fresh', skips the exact anti-join (engine wave path), and
+    is admitted+crawled twice. The filter-first order's crash window
+    errs as a false POSITIVE instead (extra anti-join work only)."""
+    from pyspark.sql import functions as F
+
+    _spec, eng = committed_engine
+    with open(eng._manifest_path(eng.last_committed_wave())) as f:
+        pin_before = json.load(f)["snapshots"]["admitted"]
+    url = "https://never-crawled.test/ordering"
+
+    def crashing_update(df, wave):
+        raise RuntimeError("injected crash at filter update")
+
+    monkeypatch.setattr(eng, "_update_bloom_distributed", crashing_update)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        eng.admit_seeds([(60, url)])
+    # nothing became durable before the crash point: no manifest fold,
+    # no admitted rows — so the post-recovery retry admits exactly once
+    with open(eng._manifest_path(eng.last_committed_wave())) as f:
+        assert json.load(f)["snapshots"]["admitted"] == pin_before
+    assert eng.admitted.read(spark).filter(F.col("url") == url).count() == 0
+    monkeypatch.undo()
+    assert eng.admit_seeds([(60, url)]) == 1
+    assert eng.admitted.read(spark).filter(F.col("url") == url).count() == 1
