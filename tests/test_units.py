@@ -189,3 +189,24 @@ def test_bench_compact_line_fits_driver_capture():
     assert parsed["kernel_scaling"]["scaling_efficiency"] == 0.999
     assert parsed["e2e_pair"]["scaling_efficiency"] == 0.999
     assert set(parsed["queries"]) == set(bench.HEADLINE)
+
+
+def test_driver_contract_fits_correctness_cap():
+    """The driver's correctness harness checks only the FIRST 50
+    queries() entries (observed in round 4: entries 51-52 silently got
+    no correctness row). Pin the contract: at most 50 entries, every
+    entry either has an exact oracle or is a documented rows-only
+    check, and no oracle key is orphaned."""
+    import __spark_entry__ as entry_mod
+
+    q = entry_mod.queries()
+    assert len(q) <= 50, (len(q), list(q))
+    # oracles may only name implemented queries
+    import adscraper_spark.oracle_data as od  # noqa: F401 (artifact dep)
+    o = {}
+    for mod in entry_mod._MODULES:
+        o.update(mod.ORACLES)
+    assert set(o) <= set(q), set(o) - set(q)
+    # and today every query IS exactly-oracled — if a future non-SQL
+    # op drops its oracle on purpose, update this pin consciously
+    assert set(o) == set(q), set(q) - set(o)
