@@ -232,6 +232,10 @@ class CrawlEngine:
         self.late_seeds = SnapshotTable(os.path.join(workdir,
                                                      "late_seeds"))
         self._last_drained_id: int | None = None
+        # (upto_wave, sum) memo over IMMUTABLE wave manifests for
+        # _admitted_total — only manifests strictly older than the last
+        # committed wave enter (the newest is fold-mutable)
+        self._frontier_cache: tuple[int, int] = (-1, 0)
         # Durable open-window marker: lets a SEPARATE intake process see
         # this process's open window (the in-memory _window_stats can't
         # cross processes) and take the staging path too.
@@ -403,15 +407,27 @@ class CrawlEngine:
                 self._last_drained_id if self._last_drained_id is not None
                 else self._late_drained_pin()),
         }
-        tmp = self._manifest_path(wave) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.rename(tmp, self._manifest_path(wave))
+        self._write_manifest_durably(self._manifest_path(wave), manifest)
         self._window_stats = []
         try:
             os.remove(self._window_marker)  # window closed durably
         except FileNotFoundError:
             pass
+
+    @staticmethod
+    def _write_manifest_durably(path: str, manifest: dict) -> None:
+        """fsync-then-rename-then-dir-fsync: the wave manifest is THE
+        durable commit point — a power loss must leave the old manifest
+        or the new one, never a torn/empty file (the rename alone can
+        be journaled ahead of the data)."""
+        from .store import _fsync_dir
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, path)
+        _fsync_dir(os.path.dirname(path))
 
     @staticmethod
     def _stats_frontier_rows(s: dict) -> int:
@@ -434,9 +450,41 @@ class CrawlEngine:
 
     def _admitted_total(self) -> int:
         """Frontier size (every row ever admitted, incl. invalid seeds)
-        summed from the wave stats."""
-        return sum(self._stats_frontier_rows(s)
-                   for _w, s in self._wave_stats_iter())
+        summed from the wave stats. Memoized over the immutable prefix:
+        manifests OLDER than the last committed wave never change (only
+        the newest manifest is fold-mutated by intake processes), so
+        each is parsed once per engine — without this the per-wave
+        max_urls check re-reads every manifest every wave, O(waves²)
+        driver JSON I/O on a long crawl."""
+        last = self.last_committed_wave()
+        upto, frozen = self._frontier_cache
+        for w in range(upto + 1, last):
+            try:
+                with open(self._manifest_path(w)) as f:
+                    m = json.load(f)
+            except FileNotFoundError:
+                continue  # wave covered by a later manifest's window
+            win = m.get("window") or {str(m["wave"]): m.get("stats", {})}
+            frozen += sum(self._stats_frontier_rows(s)
+                          for s in win.values())
+        if last - 1 > upto:
+            self._frontier_cache = (last - 1, frozen)
+        # live tail: the newest manifest (mutable via the intake fold)
+        # + this process's uncommitted in-memory window
+        tail = 0
+        if last >= 0:
+            try:
+                with open(self._manifest_path(last)) as f:
+                    m = json.load(f)
+                win = (m.get("window")
+                       or {str(m["wave"]): m.get("stats", {})})
+                tail += sum(self._stats_frontier_rows(s)
+                            for s in win.values())
+            except FileNotFoundError:
+                pass
+        tail += sum(self._stats_frontier_rows(s)
+                    for _w, s in self._window_stats)
+        return frozen + tail
 
     @contextlib.contextmanager
     def _marker_mutex(self):
@@ -544,6 +592,19 @@ class CrawlEngine:
             if not os.path.exists(self._window_marker):
                 with open(self._window_marker, "w") as f:
                     f.write("bootstrap")
+        # Crash-replay idempotence: a previous bootstrap that died
+        # between its append and _commit_wave(0) left orphan table
+        # snapshots with NO manifest pinning them (last wave is still
+        # -1, so the already-bootstrapped guard passed). Appending on
+        # top would double-admit every seed durably — reset all tables
+        # to empty first (the wave<0 rollback semantics, done inline so
+        # the marker written above stays up; late_seeds is spared, its
+        # staged batches drain through the anti-join later). Extra
+        # seen-filter keys from the crashed attempt are safe false
+        # positives.
+        for t in self._tables.values():
+            if t.current_snapshot_id() != 0:
+                t.reset_to(0)
         uniq = self._seed_rows(seeds, wave_admitted=0)
         df = self._gated_seed_df(uniq).cache()
         n = df.count()
@@ -636,6 +697,12 @@ class CrawlEngine:
         as duplicates."""
         if self._window_stats or os.path.exists(self._window_marker):
             return self._stage_late_seeds(df)
+        # Pin the admitted-log version the gate runs against: if ANOTHER
+        # intake process appends between our gate and our fold, the
+        # cached anti-join is stale (it never saw the other's URLs) and
+        # appending it could admit the same URL twice. The id is
+        # re-checked under the mutex below.
+        gate_base = self.admitted.current_snapshot_id()
         gated = self._gated_admissions(df).cache()
         n_new = gated.count()
         if not n_new:
@@ -659,7 +726,13 @@ class CrawlEngine:
             # append (replayed as duplicates after a crash rollback).
             # The wave's own marker write takes this same mutex, so
             # inside the block the marker state is authoritative.
-            if self._window_stats or os.path.exists(self._window_marker):
+            # The admitted-id check closes the intake-vs-intake race:
+            # a concurrent intake that appended after our gate ran
+            # makes our cached anti-join stale — divert to staging,
+            # whose drain re-gates against the then-current log (an
+            # O(1) HEAD read under the lock, no Spark work).
+            if (self._window_stats or os.path.exists(self._window_marker)
+                    or self.admitted.current_snapshot_id() != gate_base):
                 diverted = True
             else:
                 sid = self.admitted.append(gated)
@@ -680,10 +753,8 @@ class CrawlEngine:
                 manifest["stats"] = stats
                 manifest.setdefault("window",
                                     {})[str(manifest["wave"])] = stats
-                tmp = self._manifest_path(last) + ".tmp"
-                with open(tmp, "w") as f:
-                    json.dump(manifest, f)
-                os.rename(tmp, self._manifest_path(last))
+                self._write_manifest_durably(
+                    self._manifest_path(last), manifest)
         if diverted:
             gated.unpersist()
             # stage the PRE-gate batch: the drain re-applies the same
@@ -841,32 +912,45 @@ class CrawlEngine:
         return pending
 
     # ------------------------------------------------------------------
-    def _update_bloom_distributed(self, admissions: DataFrame,
-                                  wave: int) -> None:
-        """Per-partition segment update on executors: group admissions by
-        bloom partition; each group task loads its segment, adds its URLs,
-        writes the next wave's file. No URL list ever reaches the driver
-        (the 10^10-scale requirement, SURVEY §7.3)."""
+    def _segment_map(self, rows: DataFrame, wave: int, op: str) -> None:
+        """Shared distributed segment pass: key (url, host) rows by
+        seen-filter partition, then run ``op`` ('add' or 'delete') on
+        each partition's segment in its own executor task. ONE
+        definition of the partition keying — if update and retraction
+        ever keyed differently, probes and deletions would silently
+        target different segments (a false-negative divergence on the
+        cuckoo path). No URL list ever reaches the driver (the
+        10^10-scale requirement, SURVEY §7.3)."""
         bloom_root = self.bloom.root
         nparts = self.config.bloom_partitions
         expected = self.config.bloom_expected_per_partition
         kind = self.config.seen_filter
 
-        def upd(pdf: pd.DataFrame) -> pd.DataFrame:
+        def apply(pdf: pd.DataFrame) -> pd.DataFrame:
             from .cuckoo import make_seen_store
             store = make_seen_store(kind, bloom_root, nparts, expected)
             p = int(pdf["bpart"].iloc[0])
-            store.update_segment(p, wave, pdf["url"].tolist())
+            urls = pdf["url"].tolist()
+            if op == "add":
+                store.update_segment(p, wave, urls)
+            else:
+                store.delete_segment_urls(p, wave, urls)
             return pd.DataFrame({"bpart": [p], "n": [len(pdf)]})
 
-        keyed = admissions.select("url", "host").mapInPandas(
+        keyed = rows.select("url", "host").mapInPandas(
             lambda it: (pd.DataFrame({
                 "url": pdf["url"],
                 "bpart": [partition_for_host(h or "", nparts)
                           for h in pdf["host"]]}) for pdf in it),
             schema="url string, bpart int")
         keyed.groupBy("bpart").applyInPandas(
-            upd, schema="bpart int, n long").collect()  # tiny: one row/part
+            apply, schema="bpart int, n long").collect()  # 1 row/part
+
+    def _update_bloom_distributed(self, admissions: DataFrame,
+                                  wave: int) -> None:
+        """Per-partition segment update on executors: each group task
+        loads its segment, adds its URLs, writes the next wave's file."""
+        self._segment_map(admissions, wave, "add")
 
     def retract_seen(self, urls: DataFrame, wave: int) -> None:
         """Delete (url, host) rows from the seen-filter segments —
@@ -885,25 +969,7 @@ class CrawlEngine:
         direction — they only cost exact-anti-join rows."""
         if self.config.seen_filter != "cuckoo":
             raise ValueError("retract_seen requires seen_filter='cuckoo'")
-        bloom_root = self.bloom.root
-        nparts = self.config.bloom_partitions
-        expected = self.config.bloom_expected_per_partition
-
-        def rm(pdf: pd.DataFrame) -> pd.DataFrame:
-            from .cuckoo import CuckooStore
-            store = CuckooStore(bloom_root, nparts, expected)
-            p = int(pdf["bpart"].iloc[0])
-            store.delete_segment_urls(p, wave, pdf["url"].tolist())
-            return pd.DataFrame({"bpart": [p], "n": [len(pdf)]})
-
-        keyed = urls.select("url", "host").mapInPandas(
-            lambda it: (pd.DataFrame({
-                "url": pdf["url"],
-                "bpart": [partition_for_host(h or "", nparts)
-                          for h in pdf["host"]]}) for pdf in it),
-            schema="url string, bpart int")
-        keyed.groupBy("bpart").applyInPandas(
-            rm, schema="bpart int, n long").collect()  # tiny: one row/part
+        self._segment_map(urls, wave, "delete")
 
     def _bloom_prefilter(self, cand: DataFrame, wave: int) -> DataFrame:
         """Split candidates into definitely-new (bloom miss → admit without
@@ -987,14 +1053,26 @@ class CrawlEngine:
         # + (bucketed corpus) the wave's url-bucket set for scan pruning
         # — ≤ num_buckets ints, it rides the same agg instead of its own
         # job.
+        # Z2 over-budget predicate (evaluated inside the same planning
+        # agg below so the timeout count costs no extra job — it feeds
+        # the honest error split: errors = planned - timeouts - fetched)
+        over = None
+        if cfg.site_budget_seconds is not None:
+            over = (F.col("host_rank")
+                    * (F.lit(cfg.wave_seconds) / F.col("host_budget"))
+                    > F.lit(cfg.site_budget_seconds))
         aggs = [F.count("*").alias("n"),
                 F.approx_count_distinct("host").alias("hosts")]
+        if over is not None:
+            aggs.append(F.sum(F.when(over, 1).otherwise(0))
+                        .cast("long").alias("n_timeout"))
         if self.pages_layout is not None:
             aggs.append(F.collect_set(
                 bucket_id_col(self.pages_layout["num_buckets"]))
                 .alias("wave_buckets"))
         prow = planned.agg(*aggs).collect()[0]
         n_planned, n_hosts = prow["n"], prow["hosts"]
+        n_timeout = int(prow["n_timeout"] or 0) if over is not None else 0
         _tick(f"plan ({n_planned})")
         if n_planned == 0:
             planned.unpersist()
@@ -1040,10 +1118,7 @@ class CrawlEngine:
         # recorded as 'timeout' (consuming a retry attempt), not fetched.
         timeouts_df = None
         sched = planned
-        if cfg.site_budget_seconds is not None:
-            over = (F.col("host_rank")
-                    * (F.lit(cfg.wave_seconds) / F.col("host_budget"))
-                    > F.lit(cfg.site_budget_seconds))
+        if over is not None:
             timeouts_df = planned.filter(over).select(
                 "url", F.lit(wave).alias("wave_fetched"),
                 F.lit("timeout").alias("state_final"))
@@ -1332,7 +1407,11 @@ class CrawlEngine:
             n_fetched = count_fut.result()
             if bloom_fut is not None:
                 bloom_fut.result()
-        n_errors = n_planned - n_fetched
+        # errors = fetch MISSES only: Z2 timeout rows never entered the
+        # fetch join, so lumping them in would report phantom fetch
+        # failures (the processed table records them as 'timeout', not
+        # 'error' — the stat must point at rows that exist)
+        n_errors = n_planned - n_timeout - n_fetched
         persist_sec = _time.time() - _t_persist
         _tick("table appends + bloom + count (parallel)")
         if admissions_df is not None:
@@ -1348,6 +1427,8 @@ class CrawlEngine:
             # write serialization vs compute)
             "persist_sec": round(persist_sec, 3),
         }
+        if n_timeout:
+            stats["timeouts"] = n_timeout
         if n_late:
             # staged mid-window batches folded this wave — counted here
             # (not at stage time) so _admitted_total sums each row once
@@ -1488,7 +1569,8 @@ class CrawlEngine:
         for w, s in self._wave_stats_iter():
             rows.append((w, s.get("planned", s.get("seeds", 0)),
                          s.get("fetched", 0), s.get("errors", 0),
+                         s.get("timeouts", 0),
                          s.get("admitted", 0), s.get("disallowed", 0)))
         return self.spark.createDataFrame(
             rows, "wave int, planned long, fetched long, errors long, "
-                  "admitted long, disallowed long")
+                  "timeouts long, admitted long, disallowed long")

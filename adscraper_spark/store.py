@@ -55,6 +55,21 @@ class CommitError(RuntimeError):
     pass
 
 
+def _fsync_dir(path: str) -> None:
+    """fsync a directory so a just-created/renamed entry survives power
+    loss (no-op on platforms that refuse O_DIRECTORY-style fsync)."""
+    try:
+        fd = os.open(path, os.O_RDONLY)
+    except OSError:
+        return
+    try:
+        os.fsync(fd)
+    except OSError:
+        pass
+    finally:
+        os.close(fd)
+
+
 # How long a fully-written snap-N.json may sit unpublished (HEAD not
 # advanced) before another committer adopts it as abandoned. The
 # create→rename window of a live writer is milliseconds on local disk;
@@ -148,6 +163,24 @@ class SnapshotTable:
                 return int(f.read().strip())
         except FileNotFoundError:
             return 0
+        except ValueError:
+            # Torn HEAD (power loss persisted the rename before the tmp
+            # file's data — pre-fsync legacy states). Recover to the
+            # largest COMPLETE snapshot manifest: adoption semantics
+            # already treat any fully-linked manifest as committed, so
+            # this is the same judgment _maybe_adopt_orphan makes.
+            best = 0
+            for sid in sorted(self.snapshots(), reverse=True):
+                try:
+                    with open(os.path.join(self.path, "meta",
+                                           f"snap-{sid}.json")) as f:
+                        json.load(f)
+                    best = sid
+                    break
+                except (OSError, ValueError):
+                    continue
+            self._write_head_file(best)
+            return best
 
     def snapshot(self, snapshot_id: int | None = None) -> Snapshot:
         sid = self.current_snapshot_id() if snapshot_id is None else snapshot_id
@@ -193,6 +226,8 @@ class SnapshotTable:
             doc["stats"] = {p: s for p, s in stats.items() if p in set(files)}
         with open(tmp, "w") as fh:
             json.dump(doc, fh)
+            fh.flush()
+            os.fsync(fh.fileno())  # link() must never expose torn content
         try:
             os.link(tmp, snap_path)
         except FileExistsError:
@@ -201,6 +236,7 @@ class SnapshotTable:
                 "already exists") from None
         finally:
             os.unlink(tmp)
+        _fsync_dir(meta)  # make the link durable before HEAD points at it
         self._write_head(new_id)
         return new_id
 
@@ -219,14 +255,25 @@ class SnapshotTable:
         while True:
             if self.current_snapshot_id() >= snapshot_id:
                 return
-            tmp = os.path.join(meta, f".HEAD.{uuid.uuid4().hex}")
-            with open(tmp, "w") as f:
-                f.write(str(snapshot_id))
-            os.rename(tmp, self._head_path())  # atomic publish
+            self._write_head_file(snapshot_id)
             nxt = snapshot_id + 1
             if not os.path.exists(os.path.join(meta, f"snap-{nxt}.json")):
                 return
             snapshot_id = nxt
+
+    def _write_head_file(self, snapshot_id: int) -> None:
+        """Raw durable HEAD write: fsync the tmp BEFORE the rename (a
+        power loss may journal the rename ahead of the data — the
+        'old or new, never torn' promise needs the data on disk first)
+        and the directory after (so the rename itself survives)."""
+        meta = os.path.join(self.path, "meta")
+        tmp = os.path.join(meta, f".HEAD.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(str(snapshot_id))
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, self._head_path())  # atomic publish
+        _fsync_dir(meta)
 
     def _maybe_adopt_orphan(self, expected_parent: int) -> bool:
         """If snap-(parent+1).json exists, is complete, and HEAD has sat
@@ -442,6 +489,16 @@ class SnapshotTable:
         return df
 
     def _prune_files(self, snap: Snapshot, col: str, lo, hi) -> list[str]:
+        import datetime
+        if isinstance(lo, datetime.datetime) or \
+                isinstance(hi, datetime.datetime):
+            # Timestamp bounds don't prune: the Spark filter interprets
+            # a naive datetime literal in SESSION-LOCAL time while the
+            # footer stats are UTC-normalized — comparing them could
+            # prune a dir whose rows match the actual filter. Until the
+            # store pins a timezone contract, unknown ⇒ read everything
+            # (the filter below stays correct either way).
+            return list(snap.files)
         qlo = _json_stat(lo) if lo is not None else None
         qhi = _json_stat(hi) if hi is not None else None
         if (lo is not None and qlo is None) or (hi is not None and qhi is None):
@@ -502,12 +559,30 @@ class SnapshotTable:
         keep.update(i for i in all_ids if i > head)
         removed_snapshots = []
         spared_by_age: list[int] = []
+
+        def _age_clock(sid: int, own_mtime: float) -> float:
+            # The reader hazard starts when the snapshot stops being
+            # HEAD, not when it was created: a reader that pinned HEAD
+            # moments before a new commit holds a snapshot whose OWN
+            # mtime may be arbitrarily old. The supersession moment is
+            # (conservatively) the next-larger surviving manifest's
+            # creation — so the grace counts from whichever is later.
+            nxt = next((i for i in all_ids if i > sid), None)
+            if nxt is None:
+                return own_mtime
+            try:
+                return max(own_mtime, os.path.getmtime(os.path.join(
+                    self.path, "meta", f"snap-{nxt}.json")))
+            except OSError:
+                return now  # successor unreadable: maximal caution
+
         for sid in all_ids:
             if sid in keep:
                 continue
             p = os.path.join(self.path, "meta", f"snap-{sid}.json")
             try:
-                if now - os.path.getmtime(p) < min_age_seconds:
+                if now - _age_clock(sid, os.path.getmtime(p)) \
+                        < min_age_seconds:
                     # a concurrent reader may hold this id between its
                     # pin and the snapshot() open — too fresh to drop
                     spared_by_age.append(sid)
@@ -576,7 +651,4 @@ class SnapshotTable:
         for sid in self.snapshots():
             if sid > snapshot_id:
                 os.remove(os.path.join(self.path, "meta", f"snap-{sid}.json"))
-        tmp = os.path.join(self.path, "meta", f".HEAD.{uuid.uuid4().hex}")
-        with open(tmp, "w") as f:
-            f.write(str(snapshot_id))
-        os.rename(tmp, self._head_path())
+        self._write_head_file(snapshot_id)

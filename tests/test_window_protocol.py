@@ -178,28 +178,29 @@ def test_expire_spares_fresh_manifests_and_their_dirs(spark, tmp_path):
 
 def test_vacuum_defaults_come_from_table_config(spark, tmp_path,
                                                 monkeypatch):
-    monkeypatch.setenv("ADSCRAPER_SPARK_VACUUM_MIN_AGE", "0.0")
-    monkeypatch.setenv("ADSCRAPER_SPARK_VACUUM_RETAIN_LAST", "3")
-    import importlib
-
+    # Patch the module-level defaults in place instead of reloading the
+    # module: importlib.reload re-executes store.py in the SAME module
+    # namespace, swapping the CommitError/SnapshotTable classes under
+    # every other test module that bound them at collection time — an
+    # `except CommitError` then misses the new class (observed as an
+    # order-dependent failure in test_snapshot_table_rejects_unknown_
+    # reset). The env-var parsing itself is a one-line float()/int().
     import adscraper_spark.store as store_mod
-    importlib.reload(store_mod)
-    try:
-        t = store_mod.SnapshotTable(str(tmp_path / "cfg"))
-        assert t.vacuum_min_age_seconds == 0.0
-        assert t.vacuum_retain_last == 3
-        for i in range(5):
-            t.append(spark.createDataFrame([(i,)], "a int"))
-        res = t.expire_snapshots()  # table-level defaults apply
-        assert res["removed_snapshots"] == [1, 2]  # retain_last=3 + HEAD
-        t2 = store_mod.SnapshotTable(str(tmp_path / "cfg2"),
-                                     vacuum_min_age_seconds=9.0,
-                                     vacuum_retain_last=1)
-        assert t2.vacuum_min_age_seconds == 9.0
-        assert t2.vacuum_retain_last == 1
-    finally:
-        monkeypatch.undo()
-        importlib.reload(store_mod)
+
+    monkeypatch.setattr(store_mod, "VACUUM_MIN_AGE_SECONDS", 0.0)
+    monkeypatch.setattr(store_mod, "VACUUM_RETAIN_LAST", 3)
+    t = store_mod.SnapshotTable(str(tmp_path / "cfg"))
+    assert t.vacuum_min_age_seconds == 0.0
+    assert t.vacuum_retain_last == 3
+    for i in range(5):
+        t.append(spark.createDataFrame([(i,)], "a int"))
+    res = t.expire_snapshots()  # table-level defaults apply
+    assert res["removed_snapshots"] == [1, 2]  # retain_last=3 + HEAD
+    t2 = store_mod.SnapshotTable(str(tmp_path / "cfg2"),
+                                 vacuum_min_age_seconds=9.0,
+                                 vacuum_retain_last=1)
+    assert t2.vacuum_min_age_seconds == 9.0
+    assert t2.vacuum_retain_last == 1
 
 
 def test_seen_filter_update_precedes_durable_fold(
@@ -232,3 +233,103 @@ def test_seen_filter_update_precedes_durable_fold(
     monkeypatch.undo()
     assert eng.admit_seeds([(60, url)]) == 1
     assert eng.admitted.read(spark).filter(F.col("url") == url).count() == 1
+
+
+def test_concurrent_intake_append_diverts_to_staging(
+        spark, committed_engine, monkeypatch):
+    """Intake-vs-intake race: P1 gates (anti-join against admitted
+    HEAD), then P2 appends the same URL before P1's fold. P1's cached
+    gate is stale — appending it would admit the URL twice. The locked
+    admitted-id re-check must divert P1 to staging, whose drain
+    re-gates against the then-current log."""
+    from pyspark.sql import functions as F
+
+    from adscraper_spark.config import CrawlConfig
+    from adscraper_spark.engine import CrawlEngine
+
+    _spec, eng = committed_engine
+    url = "https://never-crawled.test/intake-race"
+    # P2: a second engine on the SAME workdir (the cross-process setup)
+    eng2 = CrawlEngine(eng.spark, eng.pages_path, None, eng.workdir,
+                       CrawlConfig(wave_seconds=10, default_budget=3,
+                                   max_waves=4, max_depth=1))
+    orig_gate = eng._gated_admissions
+
+    def gate_then_other_intake_lands(df):
+        res = orig_gate(df).cache()
+        res.count()  # materialize P1's gate against the CURRENT log
+        assert eng2.admit_seeds([(71, url)]) == 1  # P2 wins the race
+        return res
+
+    monkeypatch.setattr(eng, "_gated_admissions",
+                        gate_then_other_intake_lands)
+    n = eng.admit_seeds([(70, url)])
+    # P1 diverted: its stale gate was never appended; the staging
+    # anti-join already saw P2's row, so 0 newly admitted
+    assert n == 0
+    monkeypatch.undo()
+    eng._drain_late_seeds(eng.last_committed_wave() + 1)
+    assert eng.admitted.read(spark).filter(
+        F.col("url") == url).count() == 1
+
+
+def test_bootstrap_crash_replay_does_not_double_admit(
+        spark, tmp_path, monkeypatch):
+    """A bootstrap that dies between its admitted append and
+    _commit_wave(0) leaves orphan table snapshots with no manifest.
+    Re-running bootstrap (the natural crash-recovery sequence) must
+    reset them first — appending on top would give every seed two
+    pending rows durably (double fetch in wave 1)."""
+    from pyspark.sql import functions as F
+
+    from adscraper_spark.config import CrawlConfig
+    from adscraper_spark.corpus import CorpusSpec, gen_seeds, \
+        write_corpus_parquet
+    from adscraper_spark.engine import CrawlEngine
+
+    spec = CorpusSpec(n_pages=60, n_hosts=4, seed=13)
+    paths = write_corpus_parquet(spec, str(tmp_path / "c"))
+    cfg = CrawlConfig(wave_seconds=10, max_waves=1)
+    eng = CrawlEngine(spark, paths["pages"], paths["robots"],
+                      str(tmp_path / "w"), cfg)
+    seeds = [(i, u) for i, u in enumerate(gen_seeds(spec, n_seeds=3))]
+
+    def crash(wave, stats):
+        raise RuntimeError("injected crash before wave-0 manifest")
+
+    monkeypatch.setattr(eng, "_commit_wave", crash)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        eng.bootstrap(seeds)
+    monkeypatch.undo()
+    # crash recovery: a fresh engine re-runs the same bootstrap
+    eng2 = CrawlEngine(spark, paths["pages"], paths["robots"],
+                       str(tmp_path / "w"), cfg)
+    n = eng2.bootstrap(seeds)
+    assert n == len(seeds)
+    dupes = (eng2.admitted.read(spark).groupBy("url").count()
+             .filter(F.col("count") > 1).count())
+    assert dupes == 0
+    assert eng2.admitted.read(spark).count() == len(seeds)
+
+
+def test_expire_age_clock_counts_from_supersession(spark, tmp_path):
+    """A snapshot's reader-grace must run from the moment it was
+    SUPERSEDED, not from its creation: a reader that pinned HEAD
+    moments before a new commit holds a snapshot whose own mtime can be
+    arbitrarily old."""
+    import os as _os
+
+    t = SnapshotTable(str(tmp_path / "ages"))
+    t.append(spark.createDataFrame([(1,)], "a int"))  # snap 1
+    t.append(spark.createDataFrame([(2,)], "a int"))  # snap 2
+    # both manifests were CREATED long ago...
+    for sid in (1, 2):
+        _os.utime(_os.path.join(t.path, "meta", f"snap-{sid}.json"),
+                  (0, 0))
+    t.append(spark.createDataFrame([(3,)], "a int"))  # snap 3 = HEAD, fresh
+    res = t.expire_snapshots(retain_last=1, min_age_seconds=3600)
+    # snap 2 was superseded JUST NOW (snap 3 is fresh) → spared for a
+    # reader that pinned it moments ago; snap 1's successor is ancient
+    # → genuinely expired
+    assert res["removed_snapshots"] == [1]
+    assert [r["a"] for r in t.read(spark, 2).collect()] == [1, 2]
