@@ -16,6 +16,8 @@ README.md:305-330; subpage exploration find-page.ts:69-163.
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -49,9 +51,14 @@ def _e2e_engine(spark: SparkSession):
     hit = _E2E_CACHE.get(key)
     if hit is not None and hit[0] is spark:
         return hit[1]
+    for _s, old in _E2E_CACHE.values():
+        # evicted engine's on-disk snapshot store would otherwise leak
+        # in /tmp for the host lifetime (one per bench/pytest process)
+        shutil.rmtree(old.workdir, ignore_errors=True)
     _E2E_CACHE.clear()
     p = ensure_oracle_artifacts()
     work = tempfile.mkdtemp(prefix="adscraper_spark_e2e_")
+    atexit.register(shutil.rmtree, work, ignore_errors=True)
     eng = CrawlEngine(spark, p["pages"], p["robots"], work,
                       engine_config())
     eng.bootstrap([(i, u)
@@ -355,14 +362,18 @@ def j2_ad_domain_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = spark.read.parquet(p["pages"]).select("url", "html")
     par = spark.sparkContext.defaultParallelism
     ex = extract_pages(pages.repartition(par, "url"))
-    ad = ex.select("url", F.explode("ads").alias("ad"))
-    parts = [
-        ad.select(F.explode(F.col(f"ad.{c}")).alias("target_url"))
-        for c in ("anchor_hrefs", "iframe_srcs", "script_srcs", "img_srcs")
-    ]
-    urls = parts[0]
-    for q in parts[1:]:
-        urls = urls.unionAll(q)
+    # ONE generator over the concatenated URL arrays: the previous
+    # 4-way unionAll duplicated the extract_pages subtree per column,
+    # running the Arrow extraction UDF four times per pass (only
+    # exchanges are reused across union branches, and the UDF sits
+    # above the exchange).
+    urls = (ex.select(F.explode("ads").alias("ad"))
+            .select(F.explode(F.concat(*[
+                F.coalesce(F.col(f"ad.{c}"),
+                           F.array().cast("array<string>"))
+                for c in ("anchor_hrefs", "iframe_srcs",
+                          "script_srcs", "img_srcs")]))
+                .alias("target_url")))
     return (urls
             .select(F.lower(F.parse_url("target_url", F.lit("HOST")))
                     .alias("ad_domain"))

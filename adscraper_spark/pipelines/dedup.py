@@ -283,9 +283,16 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     NGRAM_DOC_LIMIT docs (the all-pairs baseline the LSH path
     approximates — bounded input by construction)."""
     doc = _docs(spark, sf_dir).filter(F.col("doc_id") < NGRAM_DOC_LIMIT)
-    grams = F.array_distinct(F.transform(
-        F.sequence(F.lit(1), F.length("text") - F.lit(NGRAM_N - 1)),
-        lambda i: F.substring(F.col("text"), i, NGRAM_N)))
+    # Guard text shorter than one gram: Spark's sequence(1, stop)
+    # defaults to step -1 when stop < 1 and would emit DESCENDING
+    # positions (spurious grams the oracle's WHERE i <= length-2 never
+    # produces) — same guard the word-shingle path has (_shingles_col).
+    grams = F.when(
+        F.length("text") >= NGRAM_N,
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.length("text") - F.lit(NGRAM_N - 1)),
+            lambda i: F.substring(F.col("text"), i, NGRAM_N)))
+    ).otherwise(F.array().cast("array<string>"))
     g = (doc.select("doc_id", F.explode(grams).alias("g")))
     sizes = g.groupBy("doc_id").agg(F.count("*").alias("n"))
     ga = g.select(F.col("doc_id").alias("doc_a"), "g")

@@ -219,30 +219,38 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
 
         for pdf in batches:
-            out = {"doc_id": pdf["doc_id"],
-                   "media_type": pdf["media_type"],
+            out = {"doc_id": [], "media_type": [],
                    "n_bytes": [], "byte_mean": [], "byte_min": [],
                    "byte_max": [], "width": [], "height": []}
-            for mt, p in zip(pdf["media_type"], pdf["payload"]):
+            for did, mt, p in zip(pdf["doc_id"], pdf["media_type"],
+                                  pdf["payload"]):
                 buf = bytes(p)
                 if mt == "image":
                     w, h, px = decode_image(buf)
                     flat = px.reshape(-1)
-                    out["n_bytes"].append(float(flat.size))
-                    out["byte_mean"].append(_round4(
-                        int(flat.sum(dtype=np.int64)) / flat.size))
-                    out["byte_min"].append(float(flat.min()))
-                    out["byte_max"].append(float(flat.max()))
-                    out["width"].append(float(w))
-                    out["height"].append(float(h))
+                    if not flat.size:
+                        # empty byte domain: the oracle's WHERE L > 0
+                        # drops it — stay symmetric (also avoids a
+                        # 0-division in the mean)
+                        continue
+                    row = (float(flat.size),
+                           _round4(int(flat.sum(dtype=np.int64))
+                                   / flat.size),
+                           float(flat.min()), float(flat.max()),
+                           float(w), float(h))
                 else:
+                    if not buf:
+                        continue  # oracle WHERE L > 0 symmetry
                     f = fake_features(buf)
-                    out["n_bytes"].append(f[0])
-                    out["byte_mean"].append(f[1])
-                    out["byte_min"].append(f[2])
-                    out["byte_max"].append(f[3])
-                    out["width"].append(0.0)
-                    out["height"].append(0.0)
+                    row = (f[0], f[1], f[2], f[3], 0.0, 0.0)
+                out["doc_id"].append(did)
+                out["media_type"].append(mt)
+                (out["n_bytes"].append(row[0]),
+                 out["byte_mean"].append(row[1]),
+                 out["byte_min"].append(row[2]),
+                 out["byte_max"].append(row[3]),
+                 out["width"].append(row[4]),
+                 out["height"].append(row[5]))
             yield pd.DataFrame(out)
 
     return media.mapInPandas(

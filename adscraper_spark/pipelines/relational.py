@@ -112,10 +112,14 @@ def j5_unseen_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 J5_SQL = """
-SELECT c_custkey, c_name FROM customer
-WHERE c_custkey NOT IN (SELECT DISTINCT user_id FROM events)
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
 ORDER BY c_custkey
 """
+# NOT EXISTS, not NOT IN: left_anti treats NULL keys as non-matching,
+# while a single NULL user_id would make NOT IN return zero rows
+# (three-valued logic) — a parity landmine if the events data ever
+# carries one.
 
 
 # --- W1/W2: the scheduler primitive — per-host windowed top-k --------------

@@ -428,3 +428,25 @@ def test_lsh_banding_single_generate(spark):
     plan = _plan(similarity._band_rows(bucketed))
     assert plan.count("Generate posexplode") == 1, plan
     assert "Union" not in plan, plan
+
+
+def test_near_dup_pair_expansion_streams_not_mega_row(spark):
+    """near_dup_lsh's within-bucket pair expansion must be TWO chained
+    generators (posexplode left element, explode tail slice) in one
+    codegen pipeline — per-row memory O(bucket) — never a single
+    flatten/transform that materializes all m(m-1)/2 pairs inside one
+    array row (a duplicate-heavy mega-bucket would overflow the 2^31
+    array cap / 2 GB row there)."""
+    from adscraper_spark.pipelines import similarity
+
+    df = similarity.near_dup_lsh(spark, SF)
+    plan = _plan(df)
+    # both generators present, and NOT separated by an exchange: the
+    # section of the plan between the two Generate nodes must be
+    # exchange-free (pairs stream straight into the distinct)
+    assert plan.count("Generate") >= 2, plan
+    first = plan.index("Generate")
+    second = plan.index("Generate", first + 1)
+    assert "Exchange" not in plan[first:second], plan[first:second]
+    # the mega-row shape is gone: no flatten over a nested transform
+    assert "flatten(transform" not in plan.replace(" ", ""), plan

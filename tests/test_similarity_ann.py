@@ -149,3 +149,34 @@ def test_lsh_banding_recall_and_bucket_bound_two_sizes(spark):
     # random vectors spread unevenly over sign-buckets; 8x headroom)
     for n in (2000, 16000):
         assert results[n][2] <= 8 * LSH_TARGET_BUCKET, results
+
+
+def test_lsh_params_match_static_oracle_at_every_testdata_sf():
+    """The Spark queries size LSH adaptively (lsh_params(n)) while the
+    exported oracle SQL is frozen at the LSH_PLANES/BITS_PER_BAND
+    constants. The moment any driver-testdata embeddings table grows
+    past the first adaptive step (~2×LSH_TARGET_BUCKET×2^bits rows),
+    buckets diverge and the driver rows go hash-red with no pointer at
+    the cause — fail HERE instead, loudly, so whoever grows the
+    testdata regenerates the oracle constants in lockstep."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    static = (sim.LSH_PLANES, sim.LSH_BANDS, sim.BITS_PER_BAND)
+    checked = 0
+    for p in sorted(glob.glob("/root/testdata/sf*/embeddings.parquet")):
+        n = pq.ParquetFile(p).metadata.num_rows if os.path.isfile(p) \
+            else pq.read_metadata(os.path.join(p, next(
+                f for f in os.listdir(p) if f.endswith(".parquet")))
+            ).num_rows
+        if not os.path.isfile(p):  # dir of parts: sum them
+            n = sum(pq.read_metadata(os.path.join(p, f)).num_rows
+                    for f in os.listdir(p) if f.endswith(".parquet"))
+        assert sim.lsh_params(n) == static, (
+            f"{p} ({n} rows) needs lsh_params {sim.lsh_params(n)} but "
+            f"the oracle SQL is frozen at {static} — regenerate the "
+            "oracle constants (similarity.py) for the new testdata size")
+        checked += 1
+    assert checked >= 2, "expected embeddings at several sf dirs"
