@@ -26,17 +26,32 @@ from .extraction.core import HEALTH_KEYWORDS
 from .extraction.udfs import extract_pages
 
 MAX_GUESSES = 20  # find-page.ts:121 (maxGuesses)
+#: getRssArticle's guessRssFeed paths (get-rss-article.ts:60), tried in
+#: order AFTER every header/anchor-discovered feed URL. Positions start
+#: at GUESS_POS_BASE so the (pos, feed_url) first-hit window keeps the
+#: reference's header-first precedence.
+GUESS_FEED_PATHS = ("/feed", "/feeds", "/rss")
+GUESS_POS_BASE = 1_000_000
 
 
-def _candidate_links(spark: SparkSession, pages_path: str,
-                     source_urls: DataFrame, seed: int) -> DataFrame:
-    """(src_url, link, guess_rank): same-host links of each source page,
-    deduplicated, ranked by the seeded hash (the Math.random stand-in).
-    """
+def _source_extract(spark: SparkSession, pages_path: str,
+                    source_urls: DataFrame) -> DataFrame:
+    """One extraction pass over the source pages — shared by the RSS
+    and guess paths (both need columns of the same extract output)."""
     pages = spark.read.parquet(pages_path).select("url", "html")
     src = source_urls.join(pages, "url")
     par = spark.sparkContext.defaultParallelism
-    ex = extract_pages(src.repartition(par, "url"))
+    return extract_pages(src.repartition(par, "url"))
+
+
+def _candidate_links(spark: SparkSession, pages_path: str,
+                     source_urls: DataFrame, seed: int,
+                     ex: DataFrame | None = None) -> DataFrame:
+    """(src_url, link, guess_rank): same-host links of each source page,
+    deduplicated, ranked by the seeded hash (the Math.random stand-in).
+    """
+    if ex is None:
+        ex = _source_extract(spark, pages_path, source_urls)
     links = (ex.select(F.col("url").alias("src_url"),
                        F.explode("links").alias("link"))
              .withColumn("src_host",
@@ -77,12 +92,13 @@ def _first_match(cands: DataFrame, fetched_ok: DataFrame) -> DataFrame:
 
 
 def find_articles(spark: SparkSession, pages_path: str,
-                  source_urls: DataFrame, seed: int = 42) -> DataFrame:
+                  source_urls: DataFrame, seed: int = 42,
+                  ex: DataFrame | None = None) -> DataFrame:
     """findArticle analog: first same-host candidate (seeded order, ≤20
     guesses) whose page is probably readerable (U8). RSS short-circuit:
     pages advertising an RSS feed are handled by the caller via the
     extraction ``rss_urls`` column (get-rss-article.ts path)."""
-    cands = _candidate_links(spark, pages_path, source_urls, seed)
+    cands = _candidate_links(spark, pages_path, source_urls, seed, ex=ex)
     pages = spark.read.parquet(pages_path).select("url", "html")
     cand_pages = (cands.select(F.col("link").alias("url")).distinct()
                   .join(pages, "url"))
@@ -93,7 +109,8 @@ def find_articles(spark: SparkSession, pages_path: str,
 
 
 def rss_first_article(spark: SparkSession, pages_path: str,
-                      source_urls: DataFrame) -> DataFrame:
+                      source_urls: DataFrame,
+                      ex: DataFrame | None = None) -> DataFrame:
     """S7/W3 end-to-end: discover each source page's RSS feed URLs (U9,
     in header-link order), fetch the feed bodies via the corpus join,
     parse feed XML in an Arrow batch, take item[0]
@@ -102,11 +119,27 @@ def rss_first_article(spark: SparkSession, pages_path: str,
     import pandas as pd
 
     pages = spark.read.parquet(pages_path).select("url", "html")
-    src = source_urls.join(pages, "url")
-    par = spark.sparkContext.defaultParallelism
-    ex = extract_pages(src.repartition(par, "url"))
+    if ex is None:
+        ex = _source_extract(spark, pages_path, source_urls)
     feeds = (ex.select(F.col("url").alias("src_url"),
                        F.posexplode("rss_urls").alias("pos", "feed_url")))
+    # guessRssFeed (get-rss-article.ts:57-75): origin + /feed,/feeds,
+    # /rss, tried after the header feeds (pos offset). Guesses that
+    # don't exist in the corpus simply miss the join — the reference's
+    # parseURL throw. (The reference keeps the page's query string on
+    # the guess URL; the corpus has none, so scheme://host+path is the
+    # faithful reduction.)
+    guesses = source_urls.select(
+        F.col("url").alias("src_url"),
+        F.posexplode(F.array(*[F.lit(p) for p in GUESS_FEED_PATHS]))
+        .alias("gpos", "gpath")).select(
+        "src_url",
+        (F.col("gpos") + F.lit(GUESS_POS_BASE)).cast("int").alias("pos"),
+        F.concat(F.lower(F.parse_url("src_url", F.lit("PROTOCOL"))),
+                 F.lit("://"),
+                 F.lower(F.parse_url("src_url", F.lit("HOST"))),
+                 F.col("gpath")).alias("feed_url"))
+    feeds = feeds.unionByName(guesses)
     fetched = feeds.join(pages.withColumnRenamed("url", "feed_url"),
                          "feed_url")
 
@@ -139,8 +172,13 @@ def find_articles_rss_first(spark: SparkSession, pages_path: str,
     (getRssArticle), then the seeded guess path for sources without a
     working feed (find-page.ts:98-121). Output adds ``via`` ∈
     {rss, guess}."""
-    rss = rss_first_article(spark, pages_path, source_urls)
-    guess = find_articles(spark, pages_path, source_urls, seed=seed)
+    # ONE extraction pass over the sources: the RSS path needs rss_urls
+    # and the guess path needs links — both are columns of the same
+    # extract output, so extracting per-path would run the dominant
+    # Arrow parse/selector stage twice.
+    ex = _source_extract(spark, pages_path, source_urls).cache()
+    rss = rss_first_article(spark, pages_path, source_urls, ex=ex)
+    guess = find_articles(spark, pages_path, source_urls, seed=seed, ex=ex)
     rss_part = rss.select("src_url",
                           F.col("article_url").alias("found_url"),
                           F.lit("rss").alias("via"))

@@ -56,6 +56,23 @@ class CorpusSpec:
         counts = [max(1, int(self.n_pages * w / total)) for w in weights]
         # fix rounding drift onto the mega-host
         counts[0] += self.n_pages - sum(counts)
+        # Degenerate specs (n_hosts large vs n_pages): the per-host
+        # floor of 1 can overshoot n_pages and leave the mega-host at
+        # <=0, which downstream `% count` arithmetic (gen_seeds,
+        # _ad_anchor) turns into URLs for pages that don't exist or a
+        # ZeroDivisionError. Reclaim the deficit from the tail hosts
+        # (each keeps >=1 page) — a no-op for every non-degenerate
+        # spec, so existing corpora/oracles are byte-identical.
+        h = self.n_hosts - 1
+        while counts[0] < 1 and h > 0:
+            take = min(counts[h] - 1, 1 - counts[0])
+            counts[h] -= take
+            counts[0] += take
+            h -= 1
+        if counts[0] < 1:
+            raise ValueError(
+                f"n_pages={self.n_pages} < n_hosts={self.n_hosts}: "
+                "every host needs at least one page")
         self.layout_cache = list(enumerate(counts))
         return self.layout_cache
 
@@ -188,7 +205,9 @@ def gen_links(spec: CorpusSpec, h: int, j: int) -> list[str]:
 # roots, oracle artifacts) must include this so a stale on-disk corpus
 # from an older generator is never silently re-benched as the new one.
 # v2: round 5 — gen_html embeds full-EasyList-only ad/cookie divs.
-CORPUS_CONTENT_VERSION = 2
+# v3: late round 5 — ~30% of hosts serve NO feed (host_has_feed), so
+#     the RSS guess-path fallback and dangling header links are real.
+CORPUS_CONTENT_VERSION = 3
 
 
 def gen_html(spec: CorpusSpec, h: int, j: int) -> bytes:
@@ -259,6 +278,15 @@ def feed_url(spec: CorpusSpec, h: int) -> str:
     return f"https://{spec.host_name(h)}/feed"
 
 
+def host_has_feed(spec: CorpusSpec, h: int) -> bool:
+    """~70% of hosts actually serve a feed at /feed. The rest exercise
+    the reference's failure legs: a page's header link may DANGLE
+    (getFromHeader parses nothing) and the /feed,/feeds,/rss guesses
+    miss (guessRssFeed exhausts) — both real-web behaviors the
+    all-hosts-have-feeds corpus could never produce."""
+    return stable_unit(f"hasfeed|{h}", spec.seed) < 0.7
+
+
 def gen_feed_xml(spec: CorpusSpec, h: int) -> bytes:
     """RSS 2.0 feed body per host (the /feed URL some page heads
     advertise, gen_html). Items are deterministic picks of the host's
@@ -283,6 +311,8 @@ def feed_rows(spec: CorpusSpec):
     'web'). Never admitted by link harvest (feeds are <link> elements,
     not anchors) — only the RSS operator joins them."""
     for h in range(spec.n_hosts):
+        if not host_has_feed(spec, h):
+            continue
         url = feed_url(spec, h)
         html = gen_feed_xml(spec, h)
         yield {

@@ -1552,7 +1552,7 @@ class CrawlEngine:
             return []
         rows = (proc.join(adm.select("url", "host", "priority", "seq"),
                           "url")
-                .orderBy("wave_fetched", "host", "priority", "seq")
+                .orderBy("wave_fetched", "host", "priority", "seq", "url")
                 .collect())
         return [(r["url"], r["wave_fetched"]) for r in rows]
 

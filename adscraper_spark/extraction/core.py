@@ -51,6 +51,7 @@ HEALTH_KEYWORDS = (
     "arthritis hypertension").split()
 
 _RSS_LINK_SEL = compile_selector('link[rel="alternate"][type="application/rss+xml"]')
+_LI_P_SEL = compile_selector("li p")  # hot-path: compiled once, not per doc
 _CHUMBOX_SELECTORS = [
     (platform, compile_selector(sel), depth)
     for platform, sel, depth in CHUMBOX_DEFINITIONS
@@ -131,7 +132,7 @@ def readability_probe(doc: Document,
             if id(el.parent) not in seen:
                 nodes.append(el.parent)
                 seen.add(id(el.parent))
-    li_p = compile_selector("li p")
+    li_p = _LI_P_SEL
     score = 0.0
     for node in nodes:
         if not _visible(node):

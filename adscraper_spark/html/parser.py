@@ -54,7 +54,7 @@ _ATTR_RE = re.compile(
 _NAMED_ENTITIES = {
     "amp": "&", "lt": "<", "gt": ">", "quot": '"', "apos": "'", "nbsp": " ",
 }
-_ENTITY_RE = re.compile(r"&(#x[0-9a-fA-F]+|#[0-9]+|[a-zA-Z][a-zA-Z0-9]*);")
+_ENTITY_RE = re.compile(r"&(#[xX][0-9a-fA-F]+|#[0-9]+|[a-zA-Z][a-zA-Z0-9]*);")
 
 _RAWTEXT_CLOSE_RES: dict[str, re.Pattern] = {}
 
@@ -67,20 +67,31 @@ def _rawtext_close_re(tag: str) -> re.Pattern:
     return pat
 
 
+def _ncr(cp: int) -> str:
+    """Numeric character reference → str per the HTML spec's error
+    handling: surrogate code points and anything past U+10FFFF map to
+    U+FFFD. chr(0xD800) would otherwise produce a lone surrogate that
+    pyarrow cannot UTF-8-encode — one adversarial page used to kill the
+    whole Arrow extraction batch."""
+    if 0xD800 <= cp <= 0xDFFF or cp > 0x10FFFF or cp < 0:
+        return "�"
+    return chr(cp)
+
+
 def decode_entities(s: str) -> str:
     if "&" not in s:  # hot path: most text runs carry no entities
         return s
 
     def repl(m: re.Match) -> str:
         body = m.group(1)
-        if body.startswith("#x") or body.startswith("#X"):
+        if body.startswith(("#x", "#X")):
             try:
-                return chr(int(body[2:], 16))
+                return _ncr(int(body[2:], 16))
             except (ValueError, OverflowError):
                 return m.group(0)
         if body.startswith("#"):
             try:
-                return chr(int(body[1:]))
+                return _ncr(int(body[1:]))
             except (ValueError, OverflowError):
                 return m.group(0)
         return _NAMED_ENTITIES.get(body, m.group(0))

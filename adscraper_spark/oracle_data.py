@@ -24,6 +24,9 @@ import os
 import shutil
 import tempfile
 
+from urllib.parse import urlsplit
+
+from .analysis import GUESS_FEED_PATHS, GUESS_POS_BASE
 from .config import CrawlConfig
 from .corpus import (
     CorpusSpec, feed_rows, gen_html, gen_lang, gen_robots_txt, gen_seeds,
@@ -54,7 +57,10 @@ from .html import easylist as _easylist
 _LIST_MODE = "full" if _easylist.full_lists_enabled() else "subset"
 ROOT = os.path.join(
     tempfile.gettempdir(),
-    f"adscraper_spark_oracle_v5_{_LIST_MODE}_{ORACLE_N_PAGES}"
+    # v6: url tiebreaker added to the scheduler/simulator total order +
+    # per-attempt timeout skip in the trace builder — cached v5
+    # artifacts must not be compared against post-change engine runs.
+    f"adscraper_spark_oracle_v6_{_LIST_MODE}_{ORACLE_N_PAGES}"
     f"_{ORACLE_N_HOSTS}_{ORACLE_SEED}")
 
 
@@ -75,8 +81,14 @@ def engine_config() -> CrawlConfig:
 
 
 def find_sources() -> list[str]:
+    """Source pages for the find-article demos, spread over hosts 0-2
+    so every RSS-discovery leg is exercised at this spec: host 0 serves
+    NO feed (dangling header links + all three guesses miss → the
+    find-page guess fallback), hosts 1-2 serve /feed (header-link hit
+    for ~25% of pages, guess-path hit for the rest)."""
     spec = oracle_spec()
-    return [spec.page_url(0, j) for j in range(N_FIND_SOURCES)]
+    per = N_FIND_SOURCES // 3
+    return [spec.page_url(h, j) for h in range(3) for j in range(per)]
 
 
 def artifact_paths() -> dict[str, str]:
@@ -163,6 +175,16 @@ def _build_inner(out_dir: str, pa, pq) -> None:
                               "link": ln, "link_host": url_host(ln)})
         for pos, ru in enumerate(e.rss_urls):
             rss_rows.append({"src_url": url, "pos": pos, "rss_url": ru})
+        # guessRssFeed candidates (get-rss-article.ts:57-75): tried
+        # after every header/anchor feed — mirrors analysis.py's
+        # GUESS_POS_BASE offset exactly; guesses that aren't corpus
+        # feeds drop out of the feeds join like the reference's
+        # parseURL throw.
+        scheme = urlsplit(url).scheme.lower()
+        for gpos, gpath in enumerate(GUESS_FEED_PATHS):
+            rss_rows.append({
+                "src_url": url, "pos": GUESS_POS_BASE + gpos,
+                "rss_url": f"{scheme}://{src_host}{gpath}"})
         for idx, ad in enumerate(e.ads):
             ad_rows.append({"url": url, "ad_index": idx,
                             "ad_id": ad_id_for(url, idx),
@@ -220,6 +242,14 @@ def _build_inner(out_dir: str, pa, pq) -> None:
     sim = simulate_crawl(pages_map, seeds, robots, cfg)
     trace_rows = []
     for url, wave in sim.order:
+        if (url, wave) in sim.unfetched_attempts:
+            # per-ATTEMPT skip: Z2 timeouts and corpus misses are
+            # scheduled (they appear in `order`) but the engine writes
+            # no results row for them — a retry that later succeeds
+            # contributes its own fetched (url, wave') entry. The old
+            # url-level pages_map check could not distinguish a
+            # timed-out attempt on a page that EXISTS in the corpus.
+            continue
         if pages_map.get(url) is None:
             continue  # fetch errors never reach the results table
         e = url_ex[url]

@@ -58,8 +58,15 @@ def plan_wave(pending: DataFrame, budgets: dict[str, int] | DataFrame,
         .withColumn("salt",
                     F.pmod(F.xxhash64("url"), F.lit(salt_fanout)).cast("int"))
     )
-    # phase 1: local top-k inside each (host, salt) shard
-    w1 = Window.partitionBy("host", "salt").orderBy("priority", "seq")
+    # phase 1: local top-k inside each (host, salt) shard. url is the
+    # FINAL tiebreaker (also in w2, the simulator, crawl_order):
+    # discovered-URL seq is a 31-bit hash, so same-host collisions are
+    # expected at frontier scale, and a tie straddling the budget
+    # cutoff would otherwise be kept/dropped arbitrarily per run
+    # (row_number over an unstable sort) — breaking both run-to-run
+    # determinism and engine-vs-simulator parity.
+    w1 = Window.partitionBy("host", "salt").orderBy("priority", "seq",
+                                                    "url")
     survivors = (
         planned.withColumn("shard_rank", F.row_number().over(w1))
         .filter(F.col("shard_rank") <= F.col("host_budget"))
@@ -68,7 +75,7 @@ def plan_wave(pending: DataFrame, budgets: dict[str, int] | DataFrame,
     # phase 2: exact top-k per host over ≤ budget×salt_fanout survivors.
     # host_budget stays on the rows — the Z2 site-time-budget gate
     # derives each fetch's virtual cost from it (engine.run_wave).
-    w2 = Window.partitionBy("host").orderBy("priority", "seq")
+    w2 = Window.partitionBy("host").orderBy("priority", "seq", "url")
     return (
         survivors.withColumn("host_rank", F.row_number().over(w2))
         .filter(F.col("host_rank") <= F.col("host_budget"))

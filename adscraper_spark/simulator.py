@@ -33,6 +33,12 @@ class SimResult:
     # True iff the frontier emptied before the wave horizon (the
     # engine's run() 'completed' vs 'horizon' crawl_meta event)
     drained: bool = False
+    # (url, wave) attempts that were Z2 timeouts (or corpus misses) —
+    # they appear in `order` (the engine schedules them) but the engine
+    # writes NO results row for them, so the oracle trace must skip
+    # them too. Keyed per-attempt: a retry that later succeeds gets its
+    # own fetched (url, wave') entry.
+    unfetched_attempts: set[tuple[str, int]] = field(default_factory=set)
 
 
 def simulate_crawl(pages: dict[str, bytes],
@@ -67,6 +73,7 @@ def simulate_crawl(pages: dict[str, bytes],
         admit(norm, host, path, 0, int(seq), state, None)
 
     order: list[tuple[str, int]] = []
+    unfetched_attempts: set[tuple[str, int]] = set()
     drained = False
     wave = 1
     while wave <= config.max_waves:
@@ -81,8 +88,14 @@ def simulate_crawl(pages: dict[str, bytes],
             by_host.setdefault(e["host"], []).append((u, e))
         planned: list[tuple[str, dict, bool]] = []
         for host in by_host:
+            # url is the FINAL tiebreaker everywhere (here, plan_wave's
+            # windows, crawl_order): discovered-URL seq is a 31-bit
+            # hash, and a (priority, seq) collision straddling the
+            # budget cutoff would otherwise be resolved by Python's
+            # stable insertion order here but arbitrarily by Spark's
+            # unstable sort in the engine.
             q = sorted(by_host[host],
-                       key=lambda t: (t[1]["priority"], t[1]["seq"]))
+                       key=lambda t: (t[1]["priority"], t[1]["seq"], t[0]))
             b = budgets.get(host, config.default_budget)
             for rank, (u, e) in enumerate(q[:b], start=1):
                 # Z2 site time budget: fetch #rank on this host lands at
@@ -95,10 +108,10 @@ def simulate_crawl(pages: dict[str, bytes],
         if not planned:
             drained = True
             break
-        # global fetch order = (wave, host, priority, seq) — the
+        # global fetch order = (wave, host, priority, seq, url) — the
         # parallelism-invariant total order (SURVEY §7.3)
         planned.sort(key=lambda t: (t[1]["host"], t[1]["priority"],
-                                    t[1]["seq"]))
+                                    t[1]["seq"], t[0]))
         # max_urls frontier cap — same pre-wave check as the engine
         # (frontier size counts every admitted row incl. invalid seeds)
         admission_open = (config.max_urls is None
@@ -111,6 +124,7 @@ def simulate_crawl(pages: dict[str, bytes],
                 if e["attempts"] >= config.max_retries:
                     e["state"] = "timeout"
                 order.append((url, wave))
+                unfetched_attempts.add((url, wave))
                 continue
             html = pages.get(url)
             if html is None:
@@ -119,6 +133,7 @@ def simulate_crawl(pages: dict[str, bytes],
                 if e["attempts"] >= config.max_retries:
                     e["state"] = "error"
                 order.append((url, wave))
+                unfetched_attempts.add((url, wave))
                 continue
             e["state"] = "fetched"
             order.append((url, wave))
@@ -181,4 +196,5 @@ def simulate_crawl(pages: dict[str, bytes],
         hosts={u: e["host"] for u, e in frontier.items()},
         ad_ids={u: e["ad_id"] for u, e in frontier.items()},
         drained=drained,
+        unfetched_attempts=unfetched_attempts,
     )

@@ -31,6 +31,11 @@ def is_valid_url(url: str) -> bool:
         return False
     try:
         parts = urlsplit(url)
+        # .port is lazy and raises for non-numeric/out-of-range ports
+        # ('http://h:bad/', ':99999') — the reference's `new URL(...)`
+        # throws on those too, so they are invalid, not a crash. One
+        # such href used to kill the whole extraction task.
+        parts.port
     except ValueError:
         return False
     return parts.scheme in ("http", "https") and bool(parts.hostname)
@@ -71,7 +76,7 @@ def normalize_url(url: str) -> str | None:
     parts = urlsplit(url)
     scheme = parts.scheme.lower()
     host = (parts.hostname or "").lower()
-    port = parts.port
+    port = parts.port  # safe: is_valid_url above rejects bad ports
     netloc = host
     if port is not None and str(port) != _DEFAULT_PORTS.get(scheme):
         netloc = f"{host}:{port}"

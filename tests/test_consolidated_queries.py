@@ -57,3 +57,37 @@ def test_t1_word_set_union_matches_oracle(spark, duck):
     sdf = t1_word_set_union(spark, SF).toPandas()
     ddf = duck.sql(T1_SQL).df()
     _check(sdf, ddf)
+
+
+def test_rss_guess_paths_reach_headerless_sources(spark):
+    """getRssArticle's guessRssFeed leg (get-rss-article.ts:57-75): a
+    source page with NO header/anchor feed on a host that serves /feed
+    must still resolve an article via the guessed URL; sources on a
+    feedless host must never resolve via rss."""
+    from adscraper_spark.corpus import host_has_feed
+    from adscraper_spark.extraction.core import extract_page
+    from adscraper_spark.oracle_data import (
+        ensure_oracle_artifacts, find_sources, oracle_spec)
+    from adscraper_spark.pipelines.crawl_parity import rss_first_article_q
+    from adscraper_spark.urlnorm import url_host
+
+    spec = oracle_spec()
+    p = ensure_oracle_artifacts()
+    import pyarrow.parquet as pq
+    pages = {r["url"]: r["html"] for r in
+             pq.read_table(p["pages"]).to_pylist()}
+    got = {r["src_url"]: r["feed_url"]
+           for r in rss_first_article_q(spark, "unused").collect()}
+    host_of = {spec.host_name(h): h for h in range(3)}
+    guess_hits = 0
+    for src in find_sources():
+        h = host_of[url_host(src)]
+        if not host_has_feed(spec, h):
+            assert src not in got, f"feedless host resolved rss: {src}"
+            continue
+        # host serves /feed → every source resolves, header or guess
+        assert src in got, f"feed host missed: {src}"
+        if not extract_page(src, pages[src]).rss_urls:
+            guess_hits += 1
+            assert got[src].endswith("/feed")
+    assert guess_hits >= 1, "corpus never exercised the guess-path leg"

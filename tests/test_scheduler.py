@@ -43,3 +43,21 @@ def test_budget_one_serializes_host(spark):
                         default_budget=4)
     got = planned.collect()
     assert len(got) == 1 and got[0]["seq"] == 0
+
+
+def test_seq_collision_tiebreak_is_deterministic(spark):
+    """Discovered-URL seq is a 31-bit hash — same-host collisions are
+    expected at frontier scale. Two same-(priority, seq) rows straddling
+    the budget cutoff must resolve by url (the shared final tiebreaker),
+    not by whatever order the unstable sort happened to produce."""
+    rows = [("https://h.test/zzz", "h.test", 1.0, 7),
+            ("https://h.test/aaa", "h.test", 1.0, 7),
+            ("https://h.test/mmm", "h.test", 1.0, 7)]
+    for fanout in (1, 16):
+        for _ in range(3):  # repeated runs must agree
+            got = plan_wave(_pending(spark, rows), {"h.test": 2},
+                            default_budget=2, salt_fanout=fanout).collect()
+            assert sorted(r["url"] for r in got) == [
+                "https://h.test/aaa", "https://h.test/mmm"]
+            ranks = {r["url"]: r["host_rank"] for r in got}
+            assert ranks["https://h.test/aaa"] == 1
