@@ -201,6 +201,96 @@ def test_max_urls_frontier_cap_matches_simulator(spark, corpus,
     assert eng.seen_set() == sim.seen
 
 
+def test_all_features_combined_matches_simulator(spark, corpus,
+                                                 corpus_spec, seeds,
+                                                 robots_rows,
+                                                 tmp_path_factory):
+    """Every optional engine feature ON in one crawl — ad-landing
+    admission, refresh-and-rescrape, cross-host expansion, periodic log
+    compaction + snapshot vacuum, the cuckoo seen-filter, multi-wave
+    checkpoint windows, and retries — must still be order/seen/state/
+    lineage-identical to the sequential simulator, and a crash mid
+    checkpoint-window must resume to the identical crawl. Each pairwise
+    interaction is covered elsewhere; this pins the full product (a
+    regression that only appears when features compose — e.g. a landing
+    row surviving compaction under an uncommitted window — has no other
+    test)."""
+    from adscraper_spark.config import CrawlConfig
+    from adscraper_spark.corpus import feed_rows, pages_rows
+    from adscraper_spark.engine import CrawlEngine
+    from adscraper_spark.simulator import simulate_crawl
+    from adscraper_spark.urlnorm import url_host
+
+    cfg = CrawlConfig(wave_seconds=10, default_budget=3, max_waves=6,
+                      max_depth=2, admit_ad_landings=True,
+                      max_ad_landings_per_page=2, refresh_mains=True,
+                      same_host_only=False, compact_every=2,
+                      vacuum_every=2, seen_filter="cuckoo",
+                      checkpoint_every=2, max_retries=2)
+    pages_map = {r["url"]: r["html"] for r in pages_rows(corpus_spec)}
+    pages_map.update({r["url"]: r["html"] for r in feed_rows(corpus_spec)})
+    sim = simulate_crawl(pages_map, seeds, robots_rows, cfg)
+
+    work = str(tmp_path_factory.mktemp("work_all_features"))
+    eng = CrawlEngine(spark, corpus["pages"], corpus["robots"], work, cfg)
+    eng.bootstrap(seeds)
+    eng.run()
+    assert eng.crawl_order() == sim.order
+    assert eng.seen_set() == sim.seen
+
+    adm = eng.admitted.read(spark).collect()
+    proc = {r["url"]: r["state_final"]
+            for r in eng.processed.read(spark).collect()}
+    for r in adm:
+        assert proc.get(r["url"], r["state_initial"]) \
+            == sim.states[r["url"]], r["url"]
+    eng_lineage = {r["url"]: r["ad_id"] for r in adm
+                   if r["ad_id"] is not None}
+    sim_lineage = {u: a for u, a in sim.ad_ids.items() if a is not None}
+    assert eng_lineage == sim_lineage
+    # Reference-faithful interaction: link harvest includes ad anchors
+    # (U7 takes every <a>), so with cross-host expansion ON the organic
+    # candidate ties the landing candidate on depth and wins on kind —
+    # lineage is structurally empty, and the ad targets must instead be
+    # present as ORGANIC cross-host admissions.
+    assert not sim_lineage
+    organic_offhost = {r["url"] for r in adm if r["ad_id"] is None
+                       and r["src_url"] is not None
+                       and url_host(r["src_url"]) != r["host"]}
+    assert organic_offhost
+    assert any("ads.partner-" in u
+               for u in organic_offhost)  # ad-network targets among them
+    res = eng.results.read(spark).select("url", "wave", "page_type",
+                                         "reload", "ad_id").collect()
+    assert any(r["reload"] == 1 for r in res)           # refresh ran
+
+    # Same-host variant (every other feature still on): landing lineage
+    # is non-vacuous here, and a crash inside the second checkpoint
+    # window must resume to the identical crawl.
+    import dataclasses
+
+    cfg_b = dataclasses.replace(cfg, same_host_only=True)
+    sim_b = simulate_crawl(pages_map, seeds, robots_rows, cfg_b)
+    work2 = str(tmp_path_factory.mktemp("work_all_features_crash"))
+    b = CrawlEngine(spark, corpus["pages"], corpus["robots"], work2, cfg_b)
+    b.bootstrap(seeds)
+    b.run(max_waves=3)  # dies with wave 3 uncommitted (window of 2)
+    b2 = CrawlEngine(spark, corpus["pages"], corpus["robots"], work2,
+                     cfg_b)
+    b2.run()
+    assert b2.crawl_order() == sim_b.order
+    assert b2.seen_set() == sim_b.seen
+    lineage_b = {r["url"]: r["ad_id"] for r in
+                 b2.admitted.read(spark).select("url", "ad_id").collect()
+                 if r["ad_id"] is not None}
+    assert lineage_b == {u: a for u, a in sim_b.ad_ids.items()
+                         if a is not None}
+    assert lineage_b  # non-vacuous landings with everything else on
+    rb = b2.results.read(spark).select("page_type", "reload").collect()
+    assert any(r["page_type"] == "landing" for r in rb)
+    assert any(r["reload"] == 1 for r in rb)
+
+
 def test_shuffle_fetch_fallback_matches_simulator(spark, corpus,
                                                   corpus_spec, seeds,
                                                   robots_rows,
