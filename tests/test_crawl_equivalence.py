@@ -201,6 +201,46 @@ def test_max_urls_frontier_cap_matches_simulator(spark, corpus,
     assert eng.seen_set() == sim.seen
 
 
+def test_degenerate_seed_lists_match_simulator(spark, corpus, corpus_spec,
+                                               robots_rows,
+                                               tmp_path_factory):
+    """Boundary seed lists the fixtures never exercise: an EMPTY list
+    (bootstrap + run must terminate with zero fetch events), seeds that
+    all 404 (pure error/retry path, no expansion), and a list mixing
+    duplicates with malformed URLs — each engine run must still equal
+    the sequential simulator on order and seen-set."""
+    from adscraper_spark.config import CrawlConfig
+    from adscraper_spark.corpus import pages_rows
+    from adscraper_spark.engine import CrawlEngine
+    from adscraper_spark.simulator import simulate_crawl
+
+    cfg = CrawlConfig(wave_seconds=10, default_budget=2, max_waves=4,
+                      max_depth=2, max_retries=2)
+    pages_map = {r["url"]: r["html"] for r in pages_rows(corpus_spec)}
+    cases = {
+        "empty": [],
+        "all_miss": [(i, f"https://nosuch-{i}.test/x") for i in range(4)],
+        "dup_malformed": [(0, corpus_spec.page_url(0, 0)),
+                          (1, corpus_spec.page_url(0, 0)),
+                          (2, "not a url"), (3, "https://"),
+                          (4, corpus_spec.page_url(1, 0))],
+    }
+    for label, seeds in cases.items():
+        sim = simulate_crawl(pages_map, seeds, robots_rows, cfg)
+        work = str(tmp_path_factory.mktemp(f"work_seed_{label}"))
+        eng = CrawlEngine(spark, corpus["pages"], corpus["robots"],
+                          work, cfg)
+        eng.bootstrap(seeds)
+        eng.run()
+        assert eng.crawl_order() == sim.order, label
+        assert eng.seen_set() == sim.seen, label
+    assert not simulate_crawl(pages_map, [], robots_rows, cfg).order
+    # all-miss seeds burn max_retries attempts each, then stop
+    am = simulate_crawl(pages_map, cases["all_miss"], robots_rows, cfg)
+    assert len(am.order) == 4 * cfg.max_retries
+    assert set(am.states.values()) == {"error"}
+
+
 def test_all_features_combined_matches_simulator(spark, corpus,
                                                  corpus_spec, seeds,
                                                  robots_rows,
