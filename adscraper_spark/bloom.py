@@ -35,6 +35,30 @@ def _hash_pair(url: str) -> tuple[int, int]:
     return (int.from_bytes(d[:8], "big"), int.from_bytes(d[8:], "big") | 1)
 
 
+def durable_replace(tmp: str, path: str) -> None:
+    """fsync ``tmp``'s data, rename over ``path``, fsync the directory.
+
+    Segment saves need the same power-loss discipline as the snapshot
+    store's manifest publish (store.py): the engine folds the manifest
+    only AFTER the filter update, so a manifest that survives power loss
+    while the filter file is torn or unlinked would read as a false
+    NEGATIVE for a durably-admitted URL — the one direction the seen
+    filter must never err (the URL would be crawled twice)."""
+    with open(tmp, "rb+") as f:
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+    try:
+        fd = os.open(os.path.dirname(path) or ".", os.O_RDONLY)
+    except OSError:
+        return
+    try:
+        os.fsync(fd)
+    except OSError:
+        pass
+    finally:
+        os.close(fd)
+
+
 class BloomSegment:
     """One partition's bloom filter; double hashing h1 + i*h2 (Kirsch &
     Mitzenmacher 2006 — standard public construction)."""
@@ -84,7 +108,7 @@ class BloomSegment:
                            ".tmp-" + os.path.basename(path))
         with open(tmp, "wb") as f:
             np.save(f, self.words, allow_pickle=False)
-        os.replace(tmp, path)
+        durable_replace(tmp, path)
 
     @classmethod
     def load(cls, path: str, k: int = DEFAULT_NUM_HASHES) -> "BloomSegment":

@@ -43,7 +43,7 @@ from functools import lru_cache
 
 import numpy as np
 
-from .bloom import _hash_pair
+from .bloom import _hash_pair, durable_replace
 from .hashing import stable_hash64
 
 SLOTS_PER_BUCKET = 4
@@ -180,7 +180,7 @@ class CuckooSegment:
             np.savez(f, table=self.table, stash_fp=stash_fp,
                      stash_b=stash_b,
                      saturated=np.array([self.saturated]))
-        os.replace(tmp, path)
+        durable_replace(tmp, path)
 
     @classmethod
     def load(cls, path: str) -> "CuckooSegment":

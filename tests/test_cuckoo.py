@@ -209,3 +209,39 @@ def test_engine_retract_seen_clears_prefilter(spark, corpus, corpus_spec,
         p = partition_for_host(host or "", cfg.bloom_partitions)
         seg = eng.bloom.load_segment(p, wave)
         assert not seg.might_contain(url)
+
+
+def test_segment_saves_are_durable(tmp_path, monkeypatch):
+    """Both filter stores must route their segment rename through
+    bloom.durable_replace (fsync data + dir): the engine folds the wave
+    manifest only AFTER the filter update, so a power loss that keeps
+    the manifest but tears the filter file would turn a durably-admitted
+    URL into a filter MISS — the false-negative direction the seen
+    filter must never err in."""
+    import adscraper_spark.bloom as bloom_mod
+    import adscraper_spark.cuckoo as cuckoo_mod
+    from adscraper_spark.bloom import BloomSegment
+
+    calls = []
+    real = bloom_mod.durable_replace
+
+    def spy(tmp, path):
+        calls.append(path)
+        real(tmp, path)
+
+    monkeypatch.setattr(bloom_mod, "durable_replace", spy)
+    monkeypatch.setattr(cuckoo_mod, "durable_replace", spy)
+
+    bpath = str(tmp_path / "wave-0.npy")
+    bseg = BloomSegment.sized_for(100)
+    bseg.add("https://h.test/a")
+    bseg.save(bpath)
+    assert calls == [bpath]
+    assert BloomSegment.load(bpath).might_contain("https://h.test/a")
+
+    cpath = str(tmp_path / "wave-0.npz")
+    cseg = CuckooSegment.sized_for(100)
+    cseg.add("https://h.test/a")
+    cseg.save(cpath)
+    assert calls == [bpath, cpath]
+    assert CuckooSegment.load(cpath).might_contain("https://h.test/a")
