@@ -22,16 +22,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .corpus import GUESS_FEED_PATHS, GUESS_POS_BASE
 from .extraction.core import HEALTH_KEYWORDS
 from .extraction.udfs import extract_pages
+from .urlnorm import spark_host_col
 
 MAX_GUESSES = 20  # find-page.ts:121 (maxGuesses)
-#: getRssArticle's guessRssFeed paths (get-rss-article.ts:60), tried in
-#: order AFTER every header/anchor-discovered feed URL. Positions start
-#: at GUESS_POS_BASE so the (pos, feed_url) first-hit window keeps the
-#: reference's header-first precedence.
-GUESS_FEED_PATHS = ("/feed", "/feeds", "/rss")
-GUESS_POS_BASE = 1_000_000
 
 
 def _source_extract(spark: SparkSession, pages_path: str,
@@ -54,10 +50,8 @@ def _candidate_links(spark: SparkSession, pages_path: str,
         ex = _source_extract(spark, pages_path, source_urls)
     links = (ex.select(F.col("url").alias("src_url"),
                        F.explode("links").alias("link"))
-             .withColumn("src_host",
-                         F.lower(F.parse_url("src_url", F.lit("HOST"))))
-             .withColumn("link_host",
-                         F.lower(F.parse_url("link", F.lit("HOST"))))
+             .withColumn("src_host", spark_host_col(F.col("src_url")))
+             .withColumn("link_host", spark_host_col(F.col("link")))
              .filter(F.col("link_host") == F.col("src_host"))    # F4
              .filter(F.col("link") != F.col("src_url"))
              .select("src_url", "link").distinct())              # F5
@@ -128,8 +122,14 @@ def rss_first_article(spark: SparkSession, pages_path: str,
     # don't exist in the corpus simply miss the join — the reference's
     # parseURL throw. (The reference keeps the page's query string on
     # the guess URL; the corpus has none, so scheme://host+path is the
-    # faithful reduction.)
-    guesses = source_urls.select(
+    # faithful reduction.) Candidates derive from the FETCHED sources,
+    # not the raw seed list: the reference only calls getRssArticle on
+    # a loaded page, and the oracle builder emits guess rows only for
+    # corpus pages — a 404'd source URL must not resolve an article via
+    # a guessed /feed on a live host. A semi-join against the (column-
+    # pruned) pages scan gives the fetched set without re-running the
+    # extraction stage a second time just for its url column.
+    guesses = source_urls.join(pages.select("url"), "url", "semi").select(
         F.col("url").alias("src_url"),
         F.posexplode(F.array(*[F.lit(p) for p in GUESS_FEED_PATHS]))
         .alias("gpos", "gpath")).select(
@@ -137,7 +137,7 @@ def rss_first_article(spark: SparkSession, pages_path: str,
         (F.col("gpos") + F.lit(GUESS_POS_BASE)).cast("int").alias("pos"),
         F.concat(F.lower(F.parse_url("src_url", F.lit("PROTOCOL"))),
                  F.lit("://"),
-                 F.lower(F.parse_url("src_url", F.lit("HOST"))),
+                 spark_host_col(F.col("src_url")),
                  F.col("gpath")).alias("feed_url"))
     feeds = feeds.unionByName(guesses)
     fetched = feeds.join(pages.withColumnRenamed("url", "feed_url"),
@@ -177,15 +177,26 @@ def find_articles_rss_first(spark: SparkSession, pages_path: str,
     # extract output, so extracting per-path would run the dominant
     # Arrow parse/selector stage twice.
     ex = _source_extract(spark, pages_path, source_urls).cache()
-    rss = rss_first_article(spark, pages_path, source_urls, ex=ex)
-    guess = find_articles(spark, pages_path, source_urls, seed=seed, ex=ex)
-    rss_part = rss.select("src_url",
-                          F.col("article_url").alias("found_url"),
-                          F.lit("rss").alias("via"))
-    guess_part = (guess.join(rss.select("src_url"), "src_url", "left_anti")
-                  .select("src_url", "found_url",
-                          F.lit("guess").alias("via")))
-    return rss_part.unionByName(guess_part).orderBy("src_url")
+    try:
+        rss = rss_first_article(spark, pages_path, source_urls, ex=ex)
+        guess = find_articles(spark, pages_path, source_urls, seed=seed,
+                              ex=ex)
+        rss_part = rss.select("src_url",
+                              F.col("article_url").alias("found_url"),
+                              F.lit("rss").alias("via"))
+        guess_part = (guess
+                      .join(rss.select("src_url"), "src_url", "left_anti")
+                      .select("src_url", "found_url",
+                              F.lit("guess").alias("via")))
+        # Materialize (tiny: one row per source) so the shared
+        # extraction cache can be released here instead of pinning
+        # executor storage for the life of the application — callers
+        # (bench, parity suite) invoke this repeatedly across corpora.
+        out = (rss_part.unionByName(guess_part).orderBy("src_url")
+               .localCheckpoint(eager=True))
+    finally:
+        ex.unpersist()
+    return out
 
 
 def find_pages_with_ads(spark: SparkSession, pages_path: str,

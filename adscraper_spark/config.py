@@ -10,6 +10,12 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+#: Discovered-link seq values start here; seeds keep their list-index
+#: seq below it. Lives in this pyspark-free module so the sequential
+#: simulator (the engine oracle) can share it without importing the
+#: engine (which drags the full pyspark import into oracle builds).
+DISCOVERED_SEQ_BASE = 1 << 33
+
 
 @dataclass
 class CrawlConfig:

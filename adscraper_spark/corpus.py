@@ -274,6 +274,15 @@ def gen_page_row(spec: CorpusSpec, h: int, j: int) -> dict:
     }
 
 
+#: getRssArticle's guessRssFeed paths (get-rss-article.ts:60), tried in
+#: order AFTER every header/anchor-discovered feed URL. Positions start
+#: at GUESS_POS_BASE so the (pos, feed_url) first-hit window keeps the
+#: reference's header-first precedence. Defined here (not analysis.py)
+#: so the pure-Python oracle builder never imports pyspark.
+GUESS_FEED_PATHS = ("/feed", "/feeds", "/rss")
+GUESS_POS_BASE = 1_000_000
+
+
 def feed_url(spec: CorpusSpec, h: int) -> str:
     return f"https://{spec.host_name(h)}/feed"
 

@@ -49,7 +49,7 @@ from pyspark.sql import types as T
 
 from .bloom import partition_for_host
 from .cuckoo import make_seen_store
-from .config import CrawlConfig
+from .config import DISCOVERED_SEQ_BASE, CrawlConfig  # noqa: F401
 from .corpus_layout import bucket_id_col, corpus_layout, prune_buckets
 from .extraction.udfs import extract_pages
 from .hashing import stable_hash64
@@ -57,7 +57,6 @@ from .scheduler import plan_wave
 from .store import CommitError, SnapshotTable
 from .urlnorm import normalize_url, url_host, url_path
 
-DISCOVERED_SEQ_BASE = 1 << 33  # seeds keep list-index seq below this
 
 ADMITTED_SCHEMA = (
     "url string, host string, path string, depth int, priority double, "

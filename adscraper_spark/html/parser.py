@@ -67,15 +67,28 @@ def _rawtext_close_re(tag: str) -> re.Pattern:
     return pat
 
 
+_C1_WINDOWS_1252 = {
+    # HTML spec numeric-reference C1 remap (the windows-1252 table
+    # browsers apply): &#128; is '€', not U+0080, in a real DOM.
+    0x80: 0x20AC, 0x82: 0x201A, 0x83: 0x0192, 0x84: 0x201E, 0x85: 0x2026,
+    0x86: 0x2020, 0x87: 0x2021, 0x88: 0x02C6, 0x89: 0x2030, 0x8A: 0x0160,
+    0x8B: 0x2039, 0x8C: 0x0152, 0x8E: 0x017D, 0x91: 0x2018, 0x92: 0x2019,
+    0x93: 0x201C, 0x94: 0x201D, 0x95: 0x2022, 0x96: 0x2013, 0x97: 0x2014,
+    0x98: 0x02DC, 0x99: 0x2122, 0x9A: 0x0161, 0x9B: 0x203A, 0x9C: 0x0153,
+    0x9E: 0x017E, 0x9F: 0x0178,
+}
+
+
 def _ncr(cp: int) -> str:
     """Numeric character reference → str per the HTML spec's error
-    handling: surrogate code points and anything past U+10FFFF map to
-    U+FFFD. chr(0xD800) would otherwise produce a lone surrogate that
-    pyarrow cannot UTF-8-encode — one adversarial page used to kill the
-    whole Arrow extraction batch."""
-    if 0xD800 <= cp <= 0xDFFF or cp > 0x10FFFF or cp < 0:
+    handling: NUL, surrogate code points, and anything past U+10FFFF
+    map to U+FFFD; the C1 range remaps through windows-1252 like a
+    browser DOM. chr(0xD800) would otherwise produce a lone surrogate
+    that pyarrow cannot UTF-8-encode — one adversarial page used to
+    kill the whole Arrow extraction batch."""
+    if cp == 0 or 0xD800 <= cp <= 0xDFFF or cp > 0x10FFFF or cp < 0:
         return "�"
-    return chr(cp)
+    return chr(_C1_WINDOWS_1252.get(cp, cp))
 
 
 def decode_entities(s: str) -> str:

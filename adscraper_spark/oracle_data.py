@@ -26,9 +26,9 @@ import tempfile
 
 from urllib.parse import urlsplit
 
-from .analysis import GUESS_FEED_PATHS, GUESS_POS_BASE
 from .config import CrawlConfig
 from .corpus import (
+    GUESS_FEED_PATHS, GUESS_POS_BASE,
     CorpusSpec, feed_rows, gen_html, gen_lang, gen_robots_txt, gen_seeds,
     parse_feed_first, write_corpus_parquet,
 )
@@ -87,7 +87,8 @@ def find_sources() -> list[str]:
     find-page guess fallback), hosts 1-2 serve /feed (header-link hit
     for ~25% of pages, guess-path hit for the rest)."""
     spec = oracle_spec()
-    per = N_FIND_SOURCES // 3
+    per, rem = divmod(N_FIND_SOURCES, 3)
+    assert rem == 0, "N_FIND_SOURCES must stay divisible by 3 hosts"
     return [spec.page_url(h, j) for h in range(3) for j in range(per)]
 
 
@@ -250,8 +251,9 @@ def _build_inner(out_dir: str, pa, pq) -> None:
             # url-level pages_map check could not distinguish a
             # timed-out attempt on a page that EXISTS in the corpus.
             continue
-        if pages_map.get(url) is None:
-            continue  # fetch errors never reach the results table
+        # corpus misses are covered by unfetched_attempts above (the
+        # simulator records them per attempt); a url that slipped both
+        # would KeyError here — loud, not a silent trace divergence
         e = url_ex[url]
         ad_id = sim.ad_ids.get(url)
         page_type = ("landing" if ad_id is not None

@@ -12,8 +12,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from .config import CrawlConfig
-from .engine import DISCOVERED_SEQ_BASE
+from .config import DISCOVERED_SEQ_BASE, CrawlConfig
 from .extraction.core import extract_page
 from .hashing import ad_id_for, stable_hash64
 from .robots import disallowed_checker, host_budgets

@@ -154,6 +154,26 @@ def test_rss_feed_first_article(spark, budget_setup):
     assert all(via[u] == "guess" for u in dangling if u in via)
 
 
+def test_rss_guess_requires_fetched_source(spark, budget_setup):
+    """guessRssFeed runs on a LOADED page (get-rss-article.ts is only
+    invoked after navigation): a source URL absent from the corpus — a
+    404/fetch-error page — must not resolve an article via a guessed
+    /feed on a host that happens to serve one. Regression: guesses used
+    to derive from the raw seed list instead of the fetched sources."""
+    from adscraper_spark.analysis import rss_first_article
+    from adscraper_spark.corpus import host_has_feed
+
+    spec, paths, cfg, seeds, _ = budget_setup
+    h = next(h for h in range(spec.n_hosts) if host_has_feed(spec, h))
+    ghost = f"https://{spec.host_name(h)}/no-such-page-404"
+    real = spec.page_url(h, 0)
+    src_df = spark.createDataFrame([(ghost,), (real,)], "url string")
+    got = {r["src_url"] for r in
+           rss_first_article(spark, paths["pages"], src_df).collect()}
+    assert ghost not in got      # never fetched → no guess candidates
+    assert real in got           # the host's /feed IS served
+
+
 def test_feed_rows_never_enter_frontier(spark, budget_setup,
                                         tmp_path_factory):
     """Feed pseudo-pages are corpus rows but <link> elements, not

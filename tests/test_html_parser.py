@@ -24,6 +24,18 @@ def test_decode_numeric_entities():
     assert decode_entities("&#65;&#x42;&amp;&bogus;") == "AB&&bogus;"
 
 
+def test_ncr_error_handling_matches_browser_dom():
+    # HTML-spec numeric-reference error handling: NUL, surrogates, and
+    # out-of-range map to U+FFFD; C1 remaps through windows-1252 (a
+    # browser DOM shows '€' for &#128;, never U+0080); untabled C1
+    # code points (0x81, 0x8D, 0x8F, 0x90, 0x9D) pass through.
+    assert decode_entities("&#0;") == "�"
+    assert decode_entities("&#x0;") == "�"
+    assert decode_entities("&#xD800;&#1114112;") == "��"
+    assert decode_entities("&#128;&#x99;&#8364;") == "€™€"
+    assert decode_entities("&#129;&#x9D;") == "\x81\x9d"
+
+
 def test_void_and_rawtext():
     doc = parse_html(b"<div><br><img src=x><script>if (a<b) {}</script>"
                      b"<p>t</p></div>")
