@@ -849,8 +849,12 @@ def _write_bench_md(r: dict) -> None:
         f"{r['e2e_pair'][khi]['persist_sec']} |",
         "",
         f"**end-to-end scaling efficiency {klo}→{khi} = "
-        f"{r['e2e_pair']['scaling_efficiency']}** (target ≥ 0.6; "
-        "kernel above carries the ≥ 0.8 criterion). The gap to the",
+        f"{r['e2e_pair']['scaling_efficiency']}** "
+        + ("(MEETS the ≥ 0.8 criterion this run on its own, with "
+           "table writes included; floor target ≥ 0.6"
+           if r['e2e_pair']['scaling_efficiency'] >= 0.8 else
+           "(target ≥ 0.6; kernel above carries the ≥ 0.8 criterion")
+        + "). The gap to the",
         "kernel's number is itemized by the persist column (all 6",
         "snapshot appends land on ONE local store — a cluster spreads",
         "them) plus constant per-wave driver latency (plan agg,",
