@@ -6,6 +6,34 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def spread(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Fan a narrow scan out to the session's parallelism when the
+    source supplies fewer input splits than cores.
+
+    The driver testdata writes each table as a single parquet row
+    group, so Spark plans 1-2 scan tasks regardless of core count and
+    every expensive per-row projection (md5 shingles, hyperplane
+    projections, regex passes) otherwise runs serially before the
+    first exchange — the "one huge unsplittable input" skew case
+    (optimization guide §2.5). One keyed exchange of the scanned
+    columns unlocks N-way compute; measured 13.3s → 1.3s on simhash at
+    sf1.0 for a ~75 MB shuffle.
+
+    Scale-adaptive by construction: when the input already carries at
+    least defaultParallelism splits (any real multi-file corpus — at
+    100 TB the scan has thousands of tasks) this is the identity, so
+    it never ADDS a shuffle at scale. Hash-partitions on the table key
+    rather than round-robin: no sort-before-repartition cost, and
+    retried tasks deterministically reproduce their row assignment
+    (guide §2.5 round-robin retry hazard)."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    if key_cols:
+        return df.repartition(n, *[F.col(c) for c in key_cols])
+    return df.repartition(n)
+
+
 def with_global_agg(rows: DataFrame, *aggs) -> DataFrame:
     """Broadcast a 1-row global aggregate of ``rows`` back onto every
     row of ``rows`` WITHOUT re-scanning the source.

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .common import spread
+
 NUM_MINHASHES = 12
 BANDS = 4           # 4 bands × 3 rows
 ROWS_PER_BAND = NUM_MINHASHES // BANDS
@@ -21,7 +23,11 @@ JACCARD_THRESHOLD = 0.5
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # spread: the single-row-group testdata file plans 1-2 scan tasks;
+    # the shingle/token explodes below otherwise run serially
+    # (common.spread — identity on any real multi-split corpus)
+    return spread(spark.read.parquet(f"{sf_dir}/documents.parquet"),
+                  "doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -29,7 +35,10 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    doc = _docs(spark, sf_dir)
+    # raw scan, no spread: one md5 + a partial-agg'd groupBy per doc is
+    # cheaper than the fan-out exchange would be (measured +45% WITH
+    # the spread at sf1.0 — the md5 never dominates the shuffle)
+    doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return (doc.groupBy(F.md5(F.col("text").cast("binary")).alias("text_md5"))
             .agg(F.count("*").alias("n_copies"),
                  F.min("doc_id").alias("keep_doc_id"))
@@ -231,16 +240,21 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``aggregate`` fold was measured too: HOFs bypass whole-stage
     codegen and ran ~70% slower than this shape at sf0.1.)
     ``translate`` maps each md5 hex char to its nibble's high bit in
-    one pass, so the per-bit vote is a 1-char substring cast, not an
-    8-way IN."""
+    one pass; ``conv`` then folds the 32-char bit string into ONE long
+    per token, so each per-bit vote is a shift+mask on that long — one
+    string→int parse per token instead of 32 substring casts (same
+    integer votes bit-for-bit; measured 12.5s → 5.4s at sf1.0 before
+    the scan spread)."""
     doc = _docs(spark, sf_dir)
     toks = (doc.select("doc_id",
                        F.explode(F.split("text", " ")).alias("tok"))
             .select("doc_id",
-                    F.translate(F.md5(F.col("tok").cast("binary")),
-                                "0123456789abcdef",
-                                "0000000011111111").alias("m")))
-    votes = [F.sum(F.substring("m", j + 1, 1).cast("int")).alias(f"v{j}")
+                    F.conv(F.translate(F.md5(F.col("tok").cast("binary")),
+                                       "0123456789abcdef",
+                                       "0000000011111111"), 2, 10)
+                    .cast("long").alias("v")))
+    votes = [F.sum(F.shiftright(F.col("v"), 31 - j)
+                   .bitwiseAND(F.lit(1))).alias(f"v{j}")
              for j in range(SIMHASH_BITS)]
     agg = toks.groupBy("doc_id").agg(F.count("*").alias("n"), *votes)
     # high-count majority: sign(2·count_high − n) > 0  ⇔  2·v_j > n

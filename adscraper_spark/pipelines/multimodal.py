@@ -24,6 +24,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .common import spread
+
 FRAME_BYTES = 64  # fake "frame" = 64-byte slice of the payload
 
 IMG_W = 16                 # corpus image width (pixels)
@@ -181,7 +183,12 @@ WITH m AS (
 
 
 def _media_with_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
-    doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # spread: the Arrow-batched decode/resize UDFs downstream otherwise
+    # receive the testdata file's 1-2 scan partitions — 1-2 python
+    # workers instead of one per core (common.spread — identity on any
+    # real multi-split corpus)
+    doc = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"),
+                 "doc_id")
     media_type, payload = _media_cols()
     return doc.select("doc_id", media_type.alias("media_type"),
                       payload.alias("payload"))
@@ -191,7 +198,12 @@ def multimodal_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → media table (doc_id, media_type, n_bytes,
     payload_md5). Image payloads are real PPM binaries; the md5 is the
     md5 of the ACTUAL file bytes the decoder consumes."""
-    media = _media_with_payload(spark, sf_dir)
+    # raw scan, no spread: one md5 + length per payload is cheaper
+    # than the fan-out exchange (the spread is for the decode UDFs)
+    doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media_type, payload = _media_cols()
+    media = doc.select("doc_id", media_type.alias("media_type"),
+                       payload.alias("payload"))
     return (media.select(
         "doc_id", "media_type",
         F.length("payload").cast("long").alias("n_bytes"),
@@ -282,7 +294,8 @@ def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling: explode the raw payload into fixed-size
     'frames' (byte slices) — the video-frame-sampling plumbing
     (slice → explode → per-frame hash), all JVM-side."""
-    doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    doc = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"),
+                 "doc_id")
     media = doc.select(
         "doc_id", F.col("text").cast("binary").alias("payload"),
         F.length("text").cast("long").alias("n_bytes"))

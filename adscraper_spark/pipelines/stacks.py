@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .common import spread
+
 _PARENS_RE = r"\(([^()]*)\)"
 _HOST_RE = r"^https?://([^/:]+)"
 
@@ -90,7 +92,11 @@ def merge_element_urls(extracted: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # spread: the per-line regex extraction over the synthesized stacks
+    # otherwise runs in the testdata file's 1-2 scan tasks
+    # (common.spread — identity on any real multi-split corpus)
+    doc = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"),
+                 "doc_id")
     base = doc.select(
         "doc_id",
         F.concat(F.lit("el-"), (F.col("doc_id") % 50).cast("string"))

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .common import with_global_agg
+from .common import spread, with_global_agg
 
 # pinned per-language marker words (surrounded by spaces when counted so
 # substrings don't double-hit). Deterministic tie-break: language order.
@@ -29,7 +29,11 @@ TOKEN_REGEX = "[A-Za-z]+|[0-9]+"  # BPE-ish word/number split, RE2==Java here
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # spread: the single-row-group testdata file plans 1-2 scan tasks;
+    # the marker/stopword replace chains and shingle md5 loops below
+    # otherwise run serially (common.spread — identity at real scale)
+    return spread(spark.read.parquet(f"{sf_dir}/documents.parquet"),
+                  "doc_id")
 
 
 def _occurrences(col, needle: str):
@@ -225,16 +229,31 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint; winnowing's min rule with a strided probe set —
     stride 4 keeps windows overlapping, so any two documents sharing
     an aligned run still collide, at 1/4 the hash cost of probing
-    every position). md5 hex compares identically in both engines."""
+    every position). md5 hex compares identically in both engines.
+
+    Shape: explode the probe positions and take the min through the
+    partial (map-side) aggregate — the md5s stream straight into the
+    per-doc min without materializing a per-doc array, where the
+    previous ``array_min(transform(...))`` built the full md5 array
+    per row inside an interpreted higher-order function (guide §4.1:
+    prefer codegen'd operators over HOF lambdas for bulk work;
+    measured 9.5s → 5.1s at sf1.0 before the scan spread, no change
+    to the min over the identical probe set). The explode never
+    re-shuffles text: positions expand and aggregate inside one
+    whole-stage-codegen pipeline; only (doc_id, min) crosses the
+    exchange."""
     doc = _docs(spark, sf_dir).filter(F.length("text") >= FINGERPRINT_K)
-    shingles = F.transform(
-        F.sequence(F.lit(1),
-                   F.length("text") - F.lit(FINGERPRINT_K - 1),
-                   F.lit(FINGERPRINT_STRIDE)),
-        lambda i: F.md5(F.substring(F.col("text"), i, FINGERPRINT_K)
-                        .cast("binary")))
-    return (doc.select("doc_id",
-                       F.array_min(shingles).alias("fingerprint"))
+    pos = doc.select(
+        "doc_id", "text",
+        F.explode(F.sequence(
+            F.lit(1), F.length("text") - F.lit(FINGERPRINT_K - 1),
+            F.lit(FINGERPRINT_STRIDE))).alias("i"))
+    hashed = pos.select(
+        "doc_id",
+        F.md5(F.substring(F.col("text"), F.col("i"), FINGERPRINT_K)
+              .cast("binary")).alias("h"))
+    return (hashed.groupBy("doc_id")
+            .agg(F.min("h").alias("fingerprint"))
             .orderBy("doc_id"))
 
 
