@@ -84,7 +84,27 @@ _SHINGLES_SQL = f"""
 # ---------------------------------------------------------------------------
 
 def _shingle_df(doc: DataFrame) -> DataFrame:
-    return doc.select("doc_id", F.explode(_shingles_col()).alias("sh"))
+    """Distinct (doc_id, shingle) rows. Shape: explode the positions
+    and dedup through a partial groupBy instead of materializing the
+    per-doc array in an interpreted transform+array_distinct (guide
+    §4.1 — codegen over HOF lambdas; measured 1.45s → 0.46s at sf1.0).
+    With the scan spread hash-partitioned on doc_id, the
+    (doc_id, sh) groupBy satisfies its clustering requirement from the
+    existing partitioning, so NO exchange is added — the explode,
+    concat and dedup fuse into one map-side pipeline. Same row set as
+    the array_distinct form (asserted in tests)."""
+    words = F.split(F.col("text"), " ")
+    pos = (doc.select("doc_id", words.alias("w"))
+           .filter(F.size("w") >= SHINGLE_WORDS)
+           .select("doc_id", "w",
+                   F.explode(F.sequence(
+                       F.lit(0), F.size("w") - F.lit(SHINGLE_WORDS)))
+                   .alias("i"))
+           .select("doc_id", F.concat_ws(
+               " ", F.element_at("w", F.col("i") + 1),
+               F.element_at("w", F.col("i") + 2),
+               F.element_at("w", F.col("i") + 3)).alias("sh")))
+    return pos.groupBy("doc_id", "sh").agg(F.lit(1)).select("doc_id", "sh")
 
 
 def _signatures_from(sh: DataFrame) -> DataFrame:
@@ -128,12 +148,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify join is the expensive part and is proportional to
     collisions, not to corpus²."""
     doc = _docs(spark, sf_dir)
-    # One explode, three consumers (signature agg, size agg, verify
-    # join): cache it so the shingle explode runs once, not three times.
+    # One explode, three consumers (signature agg, verify join ×2):
+    # cache it so the shingle explode runs once, not three times.
     # (Same logical plan every call → one cache entry, no growth.)
     sh = _shingle_df(doc).cache()
-    sig = _signatures_from(sh).join(
-        sh.groupBy("doc_id").agg(F.count("*").alias("n_sh")), "doc_id")
+    # ONE groupBy carries the 12 min-hashes AND the shingle count —
+    # the previous separate count agg + doc_id join re-read the cache
+    # and added a join for a value the same grouping already had
+    # (measured 3.3s → 2.0s for the sig stage at sf1.0).
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")).cast("binary")))
+        .alias(f"mh{i}")
+        for i in range(NUM_MINHASHES)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs, F.count("*").alias("n_sh"))
     band_structs = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
@@ -423,18 +451,26 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     and an ``is_canonical`` keep flag. The iteration runs only over
     edge-incident docs (connected_components); the corpus-sized work
     is a single final left join assigning singletons to themselves."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    # Checkpoint the verified pairs BEFORE mirroring them: the union's
+    # two branches are otherwise two copies of the whole
+    # dedup_minhash_lsh subtree, so the band join + verification ran
+    # TWICE per clusters build (measured ~1.7s of the 5s at sf1.0).
+    # The checkpoint runs it once; the mirror is two reads of the
+    # materialized rows.
+    pairs = (dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+             .localCheckpoint())
     edges = (pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"),
                      F.col("doc_a").alias("doc_b")))
         .withColumnRenamed("doc_a", "src")
-        .withColumnRenamed("doc_b", "dst")
-        .localCheckpoint())  # verified pairs compute once, not per round
+        .withColumnRenamed("doc_b", "dst"))
     comp = connected_components(edges)
     # plain shuffle join of (doc_id:long) keys — no broadcast hint: the
     # incident set can itself be huge at 10^10 docs; AQE may still
-    # choose broadcast when it measures small
-    return (_docs(spark, sf_dir).select("doc_id")
+    # choose broadcast when it measures small. Raw scan, no spread:
+    # this side is a doc_id projection, not per-row compute.
+    return (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id")
             .join(comp, "doc_id", "left")
             .select("doc_id",
                     F.coalesce("cluster", F.col("doc_id")).alias("cluster"))

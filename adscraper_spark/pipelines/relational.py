@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..extraction.core import HEALTH_KEYWORDS
-from .common import with_global_agg
+from .common import spread, with_global_agg
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -28,7 +28,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 #     predicate pushdown, decimal exactness) --------------------------------
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+    # spread: the testdata lineitem has 6 row groups, so only 6 scan
+    # tasks carry rows into the decimal partial aggregate regardless
+    # of split size; the fan-out exchange moves just the 4 aggregated
+    # columns (common.spread — identity on real multi-split corpora)
+    li = spread(_t(spark, sf_dir, "lineitem"), "l_orderkey")
     dec = "decimal(18,4)"
     return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
             .groupBy("l_returnflag", "l_linestatus")

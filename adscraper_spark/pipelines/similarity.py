@@ -322,41 +322,81 @@ NEAR_DUP_LSH_THRESHOLD = 0.4  # top ~0.05% of pairs in the near-uniform
                               # corpora would sit at 0.9+)
 
 
-def _pair_cos_arrow(joined: DataFrame, dim: int) -> DataFrame:
-    """(a, b, va, vb, na, nb) pair rows → (a, b, cos_raw) via one
-    vectorized numpy pass per Arrow batch (guide §4.2: hand whole
-    batches to native code instead of interpreting a per-element HOF
-    fold millions of times).
+_PAIR_CHUNK = 1_000_000  # pair rows scored per numpy slab (memory bound)
+_NEAR_DUP_MARGIN = 0.3999
+# ^ conservative Python-side pre-cut: round-half-up to 4 places maps a
+#   double to >= 0.4000 only when the raw value is >= 0.39995 - ulp, so
+#   every pair the exact JVM round+filter can keep clears 0.3999 with
+#   margin; the cut only discards pairs the filter would drop anyway.
+
+
+def _pair_index_chunks(m: int, chunk: int):
+    """Yield (ia, ib) index-array chunks covering all i<j pairs of m
+    elements with at most ~``chunk`` pairs materialized at once. Small
+    groups take one bulk triu; huge (duplicate-heavy) groups stream
+    anchor blocks so per-task memory stays O(chunk + m·dim), never
+    O(m²) — the same bound the streamed JVM pair expansion had."""
+    import numpy as np
+
+    if m * (m - 1) // 2 <= chunk:
+        yield np.triu_indices(m, k=1)
+        return
+    i = 0
+    while i < m - 1:
+        rows = max(1, min(m - 1 - i, chunk // max(1, m - i - 1)))
+        anchors = np.arange(i, i + rows)
+        ia = np.repeat(anchors, m - anchors - 1)
+        ib = np.concatenate([np.arange(j + 1, m) for j in anchors])
+        yield ia, ib
+        i += rows
+
+
+def _bucket_pair_scores(bandvecs: DataFrame) -> DataFrame:
+    """(band, bkey, vec_id, embedding, nrm) rows → (a, b, cos_raw) for
+    every within-bucket pair whose raw cosine clears the conservative
+    margin. One applyInPandas per (band, bkey) group: the vectors cross
+    the Python boundary ONCE per bucket membership (≈ corpus × bands
+    rows) instead of twice per candidate PAIR — at sf1.0 that is 80k
+    vector rows instead of 6.9M pair rows (~50 MB vs ~3.9 GB of Arrow
+    traffic), and the products/cumsum run vectorized in numpy (guide
+    §4.2) rather than as millions of interpreted HOF fold steps.
 
     Bit-identical to the JVM ``_dot``/divide expression by
-    construction: ``aggregate`` is a sequential left fold of doubles,
-    and ``cumsum`` accumulates in exactly that order (asserted
-    element-for-element in tests), each product being the same
-    float→double upcast multiply; the final round+threshold stays in
-    JVM expressions so rounding semantics are untouched. Measured
-    6.7s → 4.2s for near_dup_lsh at sf1.0 (interleaved best-of-4)."""
-    def score(batches):
-        import numpy as np
-        import pyarrow as pa
+    construction: ``cumsum`` accumulates doubles in exactly the
+    sequential left-fold order ``aggregate`` uses (asserted in tests),
+    each product is the same float→double upcast multiply, and the
+    norms are the JVM-computed ``nrm`` column carried per member. The
+    exact round + threshold + distinct stay JVM-side."""
+    import numpy as np
+    import pandas as pd
 
-        for b in batches:
-            ix = b.schema.get_field_index
-            va = (b.column(ix("va")).flatten()
-                  .to_numpy(zero_copy_only=False)
-                  .astype(np.float64).reshape(-1, dim))
-            vb = (b.column(ix("vb")).flatten()
-                  .to_numpy(zero_copy_only=False)
-                  .astype(np.float64).reshape(-1, dim))
-            na = b.column(ix("na")).to_numpy(zero_copy_only=False)
-            nb = b.column(ix("nb")).to_numpy(zero_copy_only=False)
-            dots = (va * vb).cumsum(axis=1)[:, -1] if len(na) else na
-            yield pa.RecordBatch.from_arrays(
-                [b.column(ix("a")), b.column(ix("b")),
-                 pa.array(dots / (na * nb), type=pa.float64())],
-                names=["a", "b", "cos_raw"])
+    empty = {"a": pd.Series([], dtype="int64"),
+             "b": pd.Series([], dtype="int64"),
+             "cos_raw": pd.Series([], dtype="float64")}
 
-    return (joined.select("a", "b", "va", "vb", "na", "nb")
-            .mapInArrow(score, schema="a long, b long, cos_raw double"))
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame(empty)
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        nr = pdf["nrm"].to_numpy()
+        out_a, out_b, out_c = [], [], []
+        for ia, ib in _pair_index_chunks(m, _PAIR_CHUNK):
+            dots = (v[ia] * v[ib]).cumsum(axis=1)[:, -1]
+            cos = dots / (nr[ia] * nr[ib])
+            keep = cos >= _NEAR_DUP_MARGIN
+            out_a.append(ids[ia[keep]])
+            out_b.append(ids[ib[keep]])
+            out_c.append(cos[keep])
+        return pd.DataFrame({"a": np.concatenate(out_a),
+                             "b": np.concatenate(out_b),
+                             "cos_raw": np.concatenate(out_c)})
+
+    return (bandvecs.groupBy("band", "bkey")
+            .applyInPandas(score_bucket,
+                           schema="a long, b long, cos_raw double"))
 
 
 def near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -372,47 +412,28 @@ def near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed = emb.select(
         "vec_id", _bucket_col(dim, n_planes=n_planes).alias("bucket"))
     bands = _band_rows(bucketed, n_bands, bits)
-    # Within-bucket pair expansion instead of a band-table self-join:
-    # ONE shuffle (the groupBy) and one signature evaluation, where the
-    # self-join shuffled both sides and re-derived the signature per
-    # side. lsh_params bounds the EXPECTED bucket at ≈LSH_TARGET_BUCKET
-    # members, but duplicate-heavy data (the very workload near-dup
-    # targets) can put m >> that into one bucket regardless of bits —
-    # so the expansion must never build the m(m-1)/2 pairs inside one
-    # row. Two chained generators keep per-row memory O(m): posexplode
-    # picks the left element, the second explode streams its tail
-    # slice; both sit in one whole-stage-codegen pipeline, so the
-    # pair rows stream straight into the distinct's exchange exactly
-    # like self-join output would, without a single mega-array row
-    # (arrays cap at 2^31 elements — m≈10^5 dupes would overflow it).
-    members = (bands.groupBy("band", "bkey")
-               .agg(F.array_sort(F.collect_list("vec_id")).alias("ms"))
-               .filter(F.size("ms") >= 2))
-    cand = (members
-            .select(F.posexplode("ms").alias("i", "a"), "ms")
-            .select(F.col("a"), F.explode(
-                F.slice("ms", F.col("i") + F.lit(2), F.size("ms")))
-                .alias("b")))
+    # Within-bucket scoring (r6): each (band, bkey) group scores its
+    # own pairs in one vectorized numpy pass (_bucket_pair_scores) —
+    # ONE shuffle of corpus×bands member rows (each carrying its
+    # vector + precomputed norm) replaces the former pair-expansion +
+    # per-pair embedding joins, whose 6.9M pair rows each dragged two
+    # 64-float payloads through the scoring stage. Candidate work
+    # remains ∝ band collisions, per-task memory stays bounded
+    # (O(chunk + m·dim), chunked pair generation — no m(m−1)/2
+    # materialization on duplicate-heavy buckets, the r5 invariant).
+    # The pair dedup sits AFTER the exact threshold filter: cos is a
+    # pure function of the pair, so distinct∘filter ≡ filter∘distinct
+    # row-for-row, and the distinct shuffles only survivors (16k rows
+    # at sf1.0) instead of every collision; pairs colliding in >1 band
+    # are re-scored at most BANDS-1 times — cheaper than shuffling
+    # every collision for dedup first. Exact round + threshold stay
+    # JVM-side; the Python margin pre-cut is strictly looser than the
+    # JVM filter (see _NEAR_DUP_MARGIN), so the result set is
+    # unchanged. Measured 6.0s → 2.8s at sf1.0, interleaved best-of-4.
     embn = _with_norm(emb)
-    ea = embn.select(F.col("vec_id").alias("a"),
-                     F.col("embedding").alias("va"),
-                     F.col("nrm").alias("na"))
-    eb = embn.select(F.col("vec_id").alias("b"),
-                     F.col("embedding").alias("vb"),
-                     F.col("nrm").alias("nb"))
-    # The pair dedup sits AFTER the threshold filter, not before the
-    # scoring join: cos is a pure function of the pair, so
-    # distinct∘filter ≡ filter∘distinct row-for-row — but the distinct
-    # moves from a full-width shuffle of EVERY band collision (6.9M
-    # pairs at sf1.0, measured 3.3s and ∝ collisions at scale) to a
-    # shuffle of only the pairs that pass the threshold (16k rows).
-    # The price is re-scoring pairs that collide in >1 band; measured
-    # <1% of collisions here, and bounded by BANDS-1 re-scores per
-    # pair in the worst (duplicate-heavy) case, where scoring is a
-    # 64-multiply fold vs a shuffle row — still the cheaper side.
-    # Scoring itself runs in the vectorized Arrow path
-    # (_pair_cos_arrow); round + threshold stay JVM-side.
-    return (_pair_cos_arrow(cand.join(ea, "a").join(eb, "b"), dim)
+    bandvecs = bands.join(embn, "vec_id").select(
+        "band", "bkey", "vec_id", "embedding", "nrm")
+    return (_bucket_pair_scores(bandvecs)
             .select("a", "b", F.round("cos_raw", 4).alias("cos"))
             .filter(F.col("cos") >= NEAR_DUP_LSH_THRESHOLD)
             .distinct()

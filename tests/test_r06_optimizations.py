@@ -81,28 +81,52 @@ def test_doc_fingerprint_explode_min_equals_array_min(spark):
     assert list(map(tuple, got)) == list(map(tuple, naive))
 
 
-def test_near_dup_lsh_arrow_scorer_matches_jvm_fold(spark):
-    """The Arrow pair scorer must reproduce the JVM HOF cosine bit-
-    for-bit (pre-round doubles compared exactly via their rounded
-    output plus a raw-value spot check)."""
+def test_pair_index_chunks_cover_all_pairs_bounded():
+    """Chunked pair generation must enumerate every i<j pair exactly
+    once for any (m, chunk), with no chunk exceeding the bound by more
+    than one anchor row's tail."""
+    from adscraper_spark.pipelines.similarity import _pair_index_chunks
+
+    for m in (0, 1, 2, 3, 7, 50, 113):
+        for chunk in (1, 5, 37, 10_000):
+            seen = set()
+            for ia, ib in _pair_index_chunks(m, chunk):
+                assert len(ia) == len(ib)
+                assert len(ia) <= max(chunk, m - 1)
+                assert (ia < ib).all()
+                pairs = set(zip(ia.tolist(), ib.tolist()))
+                assert not (pairs & seen), "duplicate pairs"
+                seen |= pairs
+            assert len(seen) == m * (m - 1) // 2, (m, chunk)
+
+
+def test_bucket_pair_scores_match_jvm_fold(spark):
+    """The within-bucket numpy scorer must reproduce the JVM HOF
+    cosine bit-for-bit for every pair it emits, and emit every pair
+    above the conservative margin."""
     from adscraper_spark.pipelines.similarity import (
-        _dot, _pair_cos_arrow, _with_norm)
+        _NEAR_DUP_MARGIN, _bucket_pair_scores, _dot, _with_norm)
 
     emb = _with_norm(
         spark.read.parquet(f"{SF}/embeddings.parquet")
         .filter(F.col("vec_id") < 60))
+    bandvecs = emb.select(
+        F.lit(0).alias("band"), F.lit("k").alias("bkey"),
+        "vec_id", "embedding", "nrm")
+    got = {(r["a"], r["b"]): r["cos_raw"]
+           for r in _bucket_pair_scores(bandvecs).collect()}
     ea = emb.select(F.col("vec_id").alias("a"),
                     F.col("embedding").alias("va"),
                     F.col("nrm").alias("na"))
     eb = emb.select(F.col("vec_id").alias("b"),
                     F.col("embedding").alias("vb"),
                     F.col("nrm").alias("nb"))
-    pairs = ea.crossJoin(eb).filter(F.col("a") < F.col("b"))
-    jvm = (pairs.select(
-        "a", "b", (_dot(F.col("va"), F.col("vb"))
-                   / (F.col("na") * F.col("nb"))).alias("cos_raw"))
-        .orderBy("a", "b").collect())
-    arrow = _pair_cos_arrow(pairs, 64).orderBy("a", "b").collect()
-    assert len(jvm) == len(arrow) > 0
-    for r_jvm, r_arrow in zip(jvm, arrow):
-        assert tuple(r_jvm) == tuple(r_arrow)  # exact doubles
+    jvm = (ea.crossJoin(eb).filter(F.col("a") < F.col("b"))
+           .select("a", "b", (_dot(F.col("va"), F.col("vb"))
+                              / (F.col("na") * F.col("nb")))
+                   .alias("cos_raw")).collect())
+    expected = {(r["a"], r["b"]): r["cos_raw"] for r in jvm
+                if r["cos_raw"] >= _NEAR_DUP_MARGIN}
+    assert set(got) == set(expected) and len(expected) > 0
+    for k, v in expected.items():
+        assert got[k] == v  # exact doubles, no tolerance
