@@ -161,15 +161,20 @@ def _hyperplanes(dim: int, n_planes: int = LSH_PLANES) -> list[list[float]]:
 def _bucket_col(dim: int, emb_col="embedding",
                 n_planes: int = LSH_PLANES):
     """Sign-LSH bucket signature: n_planes bits, '1' where the
-    projection onto the md5-derived hyperplane is positive."""
-    planes = _hyperplanes(dim, n_planes)
-    planes_col = F.array(*[
-        F.array(*[F.lit(v) for v in row]) for row in planes])
-    return F.concat(*[
-        F.when(_dot(F.col(emb_col),
-                    F.element_at(planes_col, p + 1)) > 0,
-               F.lit("1")).otherwise(F.lit("0"))
-        for p in range(n_planes)])
+    projection onto the md5-derived hyperplane is positive.
+
+    The planes ride in ONE array literal and the per-plane bit comes
+    from a single ``transform`` lambda — the previous concat of
+    n_planes ``when(dot(...))`` branches was an expression tree of
+    n_planes×dim literal nodes that cost the DRIVER ~3s of Catalyst
+    planning per query at 28 planes (event-log measured: every
+    executor job was <150 ms while a 2.9s between-jobs gap sat in
+    optimization). Same per-plane arithmetic in the same order, so
+    the emitted bit string is byte-identical."""
+    planes_lit = F.lit(_hyperplanes(dim, n_planes))
+    bit = (lambda p: F.when(_dot(F.col(emb_col), p) > 0, F.lit("1"))
+           .otherwise(F.lit("0")))
+    return F.array_join(F.transform(planes_lit, bit), "")
 
 
 def _embedding_dim(emb: DataFrame) -> int:
