@@ -431,22 +431,21 @@ def test_lsh_banding_single_generate(spark):
 
 
 def test_near_dup_pair_expansion_streams_not_mega_row(spark):
-    """near_dup_lsh's within-bucket pair expansion must be TWO chained
-    generators (posexplode left element, explode tail slice) in one
-    codegen pipeline — per-row memory O(bucket) — never a single
-    flatten/transform that materializes all m(m-1)/2 pairs inside one
-    array row (a duplicate-heavy mega-bucket would overflow the 2^31
-    array cap / 2 GB row there)."""
+    """near_dup_lsh's within-bucket pair scoring (r6 shape): ONE
+    grouped-map pandas stage per (band, bkey) bucket — vectors cross
+    the Python boundary once per bucket membership, never twice per
+    candidate pair — with chunked pair-index generation inside keeping
+    per-task memory O(chunk + m·dim) (test_r06_optimizations covers the
+    chunk bound). The JVM plan must never materialize all m(m-1)/2
+    pairs in one array row (no flatten-over-transform mega-row), and
+    the exact round+threshold stays JVM-side above the Python stage."""
     from adscraper_spark.pipelines import similarity
 
     df = similarity.near_dup_lsh(spark, SF)
     plan = _plan(df)
-    # both generators present, and NOT separated by an exchange: the
-    # section of the plan between the two Generate nodes must be
-    # exchange-free (pairs stream straight into the distinct)
-    assert plan.count("Generate") >= 2, plan
-    first = plan.index("Generate")
-    second = plan.index("Generate", first + 1)
-    assert "Exchange" not in plan[first:second], plan[first:second]
+    # exactly one grouped-map Python stage does the pair work
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan
     # the mega-row shape is gone: no flatten over a nested transform
     assert "flatten(transform" not in plan.replace(" ", ""), plan
+    # exact threshold comparison sits in the JVM plan, not in Python
+    assert "0.4" in plan, plan
