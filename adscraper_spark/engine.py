@@ -1244,9 +1244,21 @@ class CrawlEngine:
         admission_open = True
         if cfg.max_urls is not None:
             admission_open = self._admitted_total() < cfg.max_urls
-        admissions_df = None
-        if (admission_open and wave + 1 <= cfg.max_waves
-                and cfg.max_depth > 0):
+
+        def run_admission() -> tuple[DataFrame | None, int, int]:
+            """Build + materialize this wave's admissions; returns
+            (admissions_df, n_admitted, n_disallowed). Called from the
+            commit block below so its chain of jobs (link explode →
+            norm UDF → dedup → bloom probe → anti-join → finish UDF →
+            stats collect) OVERLAPS the five result-table appends
+            (guide §2.6: concurrent jobs back-fill each other's task
+            tails) — everything both sides read is already
+            materialized in the extraction/fetch caches, so the
+            overlap duplicates no work and admission semantics are
+            byte-identical to the former sequential order."""
+            if not (admission_open and wave + 1 <= cfg.max_waves
+                    and cfg.max_depth > 0):
+                return None, 0, 0
             # expansion sources: fetched pages below the depth horizon
             # that are NOT landing pages (the reference scrapes ad
             # landing pages but never crawls onward from them)
@@ -1351,36 +1363,39 @@ class CrawlEngine:
                     })
                     yield out
 
-            admissions_df = (
+            adf = (
                 new.mapInPandas(finish, schema=ADMITTED_SCHEMA).cache())
             # one job for both admission stats (cache materializes here)
             adm_counts = {r["state_initial"]: r["count"] for r in
-                          admissions_df.groupBy("state_initial").count()
+                          adf.groupBy("state_initial").count()
                           .collect()}
-            cand.unpersist()  # admissions_df's cache holds the rows now
-            n_admitted = sum(adm_counts.values())
-            n_disallowed = adm_counts.get("disallowed", 0)
-            _tick(f"admission ({n_admitted})")
-            if n_admitted == 0:
-                admissions_df.unpersist()
-                admissions_df = None
-        else:
-            n_admitted = n_disallowed = 0
+            cand.unpersist()  # admissions cache holds the rows now
+            n_adm = sum(adm_counts.values())
+            n_dis = adm_counts.get("disallowed", 0)
+            _tick(f"admission ({n_adm})")
+            if n_adm == 0:
+                adf.unpersist()
+                adf = None
+            return adf, n_adm, n_dis
 
         # ---- single-wave commit (Z4) ------------------------------------
-        if admissions_df is None:
-            # no admission stage ran, so the extraction cache is still
-            # cold: materialize it in ONE full-parallelism job here
-            # rather than letting the concurrent appends below race to
-            # compute the same cached partitions under the cache lock
-            extracted.count()
+        # Materialize the extraction cache in ONE full-parallelism job
+        # first: every consumer below (result appends AND the admission
+        # chain) then reads the cache instead of racing to compute the
+        # same cached partitions under the cache lock.
+        extracted.count()
+        _tick("extract materialize")
         # The six per-wave appends are independent of one another (each
         # SnapshotTable owns its directory and manifest), so submit them
         # as concurrent Spark jobs: with W >> tasks-per-write executors
         # the scheduler overlaps their fixed latency and IO instead of
-        # paying it six times sequentially. The bloom-segment update and
-        # the fetched count ride in the same pool — both read only
-        # already-materialized caches. Crash consistency is unaffected —
+        # paying it six times sequentially. The ADMISSION pipeline runs
+        # concurrently with them from this thread (it shares no inputs
+        # beyond the materialized caches), and its admitted-append +
+        # bloom-segment update join the same pool as soon as its rows
+        # are counted — previously the whole admission chain ran BEFORE
+        # the first append started, serializing two multi-second phases
+        # that touch disjoint tables. Crash consistency is unaffected —
         # _commit_wave (the only durable publish) still runs after every
         # job has finished, and rollback discards any snapshot not
         # pinned by a wave manifest (orphan bloom bits are safe: bloom
@@ -1390,20 +1405,22 @@ class CrawlEngine:
                    (self.ads, ads_df),
                    (self.requests, requests_df),
                    (self.iframes, iframes_df)]
-        if admissions_df is not None:
-            appends.append((self.admitted, admissions_df))
         _t_persist = _time.time()
-        with ThreadPoolExecutor(max_workers=len(appends) + 2) as pool:
+        with ThreadPoolExecutor(max_workers=len(appends) + 3) as pool:
             futs = [pool.submit(table.append, df) for table, df in appends]
             count_fut = pool.submit(fetched.count)
-            bloom_fut = None
+            admissions_df, n_admitted, n_disallowed = run_admission()
+            adm_fut = bloom_fut = None
             if admissions_df is not None:
+                adm_fut = pool.submit(self.admitted.append, admissions_df)
                 bloom_fut = pool.submit(
                     self._update_bloom_distributed, admissions_df,
                     wave + 1)
             for f in futs:
                 f.result()
             n_fetched = count_fut.result()
+            if adm_fut is not None:
+                adm_fut.result()
             if bloom_fut is not None:
                 bloom_fut.result()
         # errors = fetch MISSES only: Z2 timeout rows never entered the
@@ -1420,10 +1437,11 @@ class CrawlEngine:
             "admitted": n_admitted,
             "disallowed": n_disallowed,
             "approx_hosts": n_hosts,
-            # wall seconds in the snapshot-persistence block (the 5-6
-            # parallel table appends + bloom + count): the bench uses
-            # this to itemize end-to-end-vs-kernel scaling (single-disk
-            # write serialization vs compute)
+            # wall seconds in the parallel commit block (the 5-6 table
+            # appends + bloom + count, now OVERLAPPED with the
+            # admission chain): the bench uses this to itemize
+            # end-to-end-vs-kernel scaling (single-disk write
+            # serialization vs compute)
             "persist_sec": round(persist_sec, 3),
         }
         if n_timeout:

@@ -160,7 +160,10 @@ def crawl_meta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("crawl_name", F.col("event").alias("final_event")))
     counts = eng.results.read(spark).agg(
         F.count("*").alias("n_result_rows"))
-    return final.crossJoin(counts)
+    # 1-row aggregate side: broadcast hint for consistency with every
+    # other 1-row crossJoin site (common.with_global_agg) — the plan
+    # becomes a BroadcastNestedLoopJoin instead of a cartesian product.
+    return final.crossJoin(F.broadcast(counts))
 
 
 CRAWL_META_JOIN_SQL = f"""

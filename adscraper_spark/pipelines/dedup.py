@@ -138,6 +138,13 @@ MINHASH_SIGNATURES_SQL = (
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via LSH banding + exact-Jaccard verification,
+    sorted for the oracle compare (the clusters build consumes the
+    unsorted core — a sort feeding a join/checkpoint is pure waste)."""
+    return _minhash_lsh_core(spark, sf_dir).orderBy("doc_a", "doc_b")
+
+
+def _minhash_lsh_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs via LSH banding, verified with exact
     Jaccard. Plan shape: one shingle explode feeds a single groupBy
     producing the signature AND the shingle count (1 shuffle), band
@@ -177,6 +184,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
               .cache())
     left = banded.alias("l")
     right = banded.alias("r")
+    # cand is consumed TWICE in the final plan (pair_sh lineage + the
+    # outer left join) and DataFrame plans share no common subtrees —
+    # uncached, the band self-join + distinct executed twice per
+    # action (measured 2.7 s per execution on a duplicate-heavy 10×
+    # corpus, 247k pairs). Same single-entry cache reasoning as `sh`.
     cand = (left.join(right, (F.col("l.band") == F.col("r.band"))
                       & (F.col("l.bkey") == F.col("r.bkey"))
                       & (F.col("l.doc_id") < F.col("r.doc_id")))
@@ -184,7 +196,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("l.n_sh").alias("n_a"),
                     F.col("r.doc_id").alias("doc_b"),
                     F.col("r.n_sh").alias("n_b"))
-            .distinct())
+            .distinct()
+            .cache())
     # exact-Jaccard verification of candidates only: equi-join each side
     # on (doc_id, shingle) so only matching shingles materialize
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
@@ -203,8 +216,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_inter")
                 / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4))
             .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-            .select("doc_a", "doc_b", "jaccard")
-            .orderBy("doc_a", "doc_b"))
+            .select("doc_a", "doc_b", "jaccard"))
 
 
 def dedup_minhash_lsh_sql() -> str:
@@ -456,8 +468,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedup_minhash_lsh subtree, so the band join + verification ran
     # TWICE per clusters build (measured ~1.7s of the 5s at sf1.0).
     # The checkpoint runs it once; the mirror is two reads of the
-    # materialized rows.
-    pairs = (dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    # materialized rows. The UNSORTED core feeds the checkpoint — the
+    # query's final orderBy is a range-partition sort (plus its
+    # sampling job) whose order the CC join immediately destroys.
+    pairs = (_minhash_lsh_core(spark, sf_dir).select("doc_a", "doc_b")
              .localCheckpoint())
     edges = (pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"),

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .common import spread, with_global_agg
+from .common import CHEAP_SCAN_MIN_BYTES, spread, with_global_agg
 
 # pinned per-language marker words (surrounded by spaces when counted so
 # substrings don't double-hit). Deterministic tie-break: language order.
@@ -30,10 +30,19 @@ TOKEN_REGEX = "[A-Za-z]+|[0-9]+"  # BPE-ish word/number split, RE2==Java here
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread: the single-row-group testdata file plans 1-2 scan tasks;
-    # the marker/stopword replace chains and shingle md5 loops below
-    # otherwise run serially (common.spread — identity at real scale)
+    # the shingle md5 explode below otherwise runs serially
+    # (common.spread — identity at real scale)
     return spread(spark.read.parquet(f"{sf_dir}/documents.parquet"),
                   "doc_id")
+
+
+def _docs_cheap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reader for the CHEAP per-row queries (marker/stopword counting,
+    regex passes): fan out only past CHEAP_SCAN_MIN_BYTES — below it
+    the exchange's fixed cost exceeds the parallelized projection
+    (interleaved A/B in common.py docstring)."""
+    return spread(spark.read.parquet(f"{sf_dir}/documents.parquet"),
+                  "doc_id", min_bytes=CHEAP_SCAN_MIN_BYTES)
 
 
 def _occurrences(col, needle: str):
@@ -75,7 +84,7 @@ def lang_pred_cols():
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language ID; argmax with language-name tie-break.
     Scores per language = total marker-word occurrences."""
-    doc = _docs(spark, sf_dir)
+    doc = _docs_cheap(spark, sf_dir)
     scored = doc.select("doc_id", "lang",
                         *lang_score_cols(F.col("text")))
     pred, best = lang_pred_cols()
@@ -148,7 +157,7 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     punctuation density — the standard web-text filtering features
     (C4/Gopher-style rules, public literature), pinned to an exact
     cross-engine formula."""
-    doc = _docs(spark, sf_dir)
+    doc = _docs_cheap(spark, sf_dir)
     cols = quality_cols(F.col("text"))
     return (doc.select(
         "doc_id", *[c.alias(n) for n, c in cols.items()])
@@ -191,7 +200,7 @@ FROM f ORDER BY doc_id
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace tokens + regex (BPE-ish) tokens per doc + corpus
     totals by language."""
-    doc = _docs(spark, sf_dir)
+    doc = _docs_cheap(spark, sf_dir)
     per_doc = doc.select(
         "doc_id", "lang",
         (_occurrences(F.col("text"), " ") + 1).alias("ws_tokens"),
@@ -287,7 +296,7 @@ def domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     total — corpus-size independent width at 100 TB. The tiny grouped
     intermediate is cached (with_global_agg), so the documents scan
     and the groupBy run ONCE instead of once per crossJoin side."""
-    doc = _docs(spark, sf_dir)
+    doc = _docs_cheap(spark, sf_dir)
     per = doc.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"))
@@ -327,7 +336,7 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     mechanics (match-count + masked-text hash) are then non-vacuous.
     Pure JVM column algebra; at 100 TB this is one narrow projection,
     no shuffle."""
-    doc = _docs(spark, sf_dir)
+    doc = _docs_cheap(spark, sf_dir)
     aug = F.concat(
         F.col("text"), F.lit(" contact user"),
         F.col("doc_id").cast("string"), F.lit("@mail"),
