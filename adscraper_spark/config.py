@@ -74,6 +74,15 @@ class CrawlConfig:
     # bytes ≫ cores×128 MB) this is a no-op and the operator's own
     # tuning wins. 0 disables.
     scan_splits_per_core: int = 3
+    # Bucket-prune the exact-admission anti-join's right side once the
+    # admitted log (manifest row count, no scan) reaches this many
+    # rows: the candidates' url-hash bucket set (≤ frontier_buckets
+    # ints, one tiny agg over the already-cached candidate split)
+    # selects only the admitted log's matching bucket files — the scan
+    # becomes ∝ the candidates' bucket spread instead of ∝ the
+    # frontier (the one remaining per-wave full-history read). Below
+    # the floor a full read is cheaper than the extra planning job.
+    antijoin_prune_min_rows: int = 100_000
     # Compact the admitted/processed frontier logs back to
     # frontier_buckets files every K waves (None = never). Iceberg
     # rewrite_data_files analog; keeps the per-wave pending anti-join

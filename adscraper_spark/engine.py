@@ -890,6 +890,36 @@ class CrawlEngine:
         return out
 
     # ------------------------------------------------------------------
+    def _admitted_urls_for(self, cand_urls: DataFrame) -> DataFrame | None:
+        """Right side of the exact-admission anti-join (J5/Z3).
+
+        Below ``antijoin_prune_min_rows`` (manifest row count — no
+        scan): the plain full read, as before. Above it: compute the
+        candidates' url-hash bucket set (≤ frontier_buckets ints, one
+        tiny agg over the already-cached candidate split — the same
+        trick the fetch scan uses for the pages corpus) and open only
+        the admitted log's matching bucket files
+        (store.read_bucket_subset) — the per-wave admission read
+        becomes ∝ the candidate bucket spread instead of ∝ the full
+        frontier history, the one remaining per-wave full-table scan
+        VERDICT r05 flagged. The >60%-coverage guard falls through to
+        the full read exactly like the corpus prune (engine fetch
+        path): an IN-set that keeps most files costs planning time for
+        no scan reduction. Returns None when the candidates' buckets
+        provably hold no admitted rows."""
+        cfg = self.config
+        if (cfg.antijoin_prune_min_rows
+                and self._admitted_total() >= cfg.antijoin_prune_min_rows):
+            n = cfg.frontier_buckets
+            ids = [r["b"] for r in cand_urls
+                   .select(F.pmod(F.hash("url"), F.lit(n)).alias("b"))
+                   .distinct().collect()]
+            if len(ids) <= 0.6 * n:
+                sub = self.admitted.read_bucket_subset(self.spark, ids)
+                return None if sub is None else sub.select("url")
+        return self.admitted.read(self.spark).select("url")
+
+    # ------------------------------------------------------------------
     def pending_df(self) -> DataFrame:
         """Pending = admitted-pending minus exhausted URLs. A URL is
         exhausted once fetched, or after max_retries error attempts
@@ -1331,8 +1361,13 @@ class CrawlEngine:
             cand = self._bloom_prefilter(cand, wave).cache()
             fresh = cand.filter(~F.col("maybe_seen")).drop("maybe_seen")
             maybe = cand.filter(F.col("maybe_seen")).drop("maybe_seen")
-            admitted_urls = self.admitted.read(spark).select("url")
-            confirmed = maybe.join(admitted_urls, "url", "left_anti")
+            admitted_urls = self._admitted_urls_for(maybe)
+            if admitted_urls is None:
+                # the candidates' buckets hold no admitted rows at all:
+                # nothing to anti-join against (bloom false positives)
+                confirmed = maybe
+            else:
+                confirmed = maybe.join(admitted_urls, "url", "left_anti")
             new = self._with_robots_txt(fresh.unionByName(confirmed))
 
             def finish(batches: Iterator[pd.DataFrame]

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import time
 import uuid
 from dataclasses import dataclass
@@ -93,6 +94,11 @@ VACUUM_MIN_AGE_SECONDS = float(
     os.environ.get("ADSCRAPER_SPARK_VACUUM_MIN_AGE", "60.0"))
 VACUUM_RETAIN_LAST = int(
     os.environ.get("ADSCRAPER_SPARK_VACUUM_RETAIN_LAST", "1"))
+
+#: Per-data-dir bucket-layout marker (underscore prefix: Spark's file
+#: index ignores it). See SnapshotTable._write_data / read_bucket_subset.
+_BUCKET_MARKER = "_bucket_layout.json"
+_PART_RE = re.compile(r"part-(\d+)-.*\.parquet$")
 
 
 @dataclass
@@ -301,6 +307,20 @@ class SnapshotTable:
         part = os.path.join(self.path, "data", uuid.uuid4().hex)
         if self.bucket_col is not None and self.bucket_col in df.columns:
             df = df.repartition(self.num_buckets, self.bucket_col)
+            df.write.mode("overwrite").parquet(part)
+            # Per-dir layout marker (leading underscore → invisible to
+            # Spark's file index): records that THIS dir's part-file
+            # indices are pmod(murmur3(bucket_col), num_buckets) —
+            # repartition's HashPartitioning assigns partition (and
+            # thus part-NNNNN file) exactly that way, verified in
+            # tests. read_bucket_subset prunes only dirs whose marker
+            # matches its expectation, so dirs written under an older
+            # bucket count (or never bucketed) are always read whole.
+            with open(os.path.join(part, _BUCKET_MARKER), "w") as f:
+                json.dump({"col": self.bucket_col,
+                           "n": self.num_buckets,
+                           "hash": "murmur3"}, f)
+            return [part]
         else:
             # Cap file count (and write-task count) at the session's
             # parallelism: wave appends inherit the corpus scan's split
@@ -487,6 +507,56 @@ class SnapshotTable:
             if hi is not None:
                 df = df.filter(df[col] <= hi)
         return df
+
+    def read_bucket_subset(self, spark: SparkSession, bucket_ids,
+                           snapshot_id: int | None = None
+                           ) -> DataFrame | None:
+        """Read only the bucket files matching ``bucket_ids`` — the
+        Iceberg bucket-transform scan-planning analog for this table's
+        ``repartition(num_buckets, bucket_col)`` layout, where file
+        ``part-K-*`` of a bucketed data dir holds exactly the rows with
+        ``pmod(murmur3(bucket_col), num_buckets) == K``.
+
+        Per-dir safety: a dir is pruned ONLY when its `_bucket_layout`
+        marker matches this table's (col, num_buckets) — dirs written
+        unbucketed or under a different bucket count are included
+        whole, so a config change or legacy layout degrades to the
+        full read, never to wrong pruning. Returns None when the
+        snapshot is empty or the selected subset holds no files; on
+        any listing error falls back to the plain read."""
+        snap = self.snapshot(snapshot_id)
+        if snap.empty:
+            return None
+        want = {int(b) for b in bucket_ids}
+        paths: list[str] = []
+        try:
+            for d in snap.files:
+                marker = None
+                try:
+                    with open(os.path.join(d, _BUCKET_MARKER)) as f:
+                        marker = json.load(f)
+                except (OSError, ValueError):
+                    marker = None
+                if (marker is None
+                        or marker.get("col") != self.bucket_col
+                        or marker.get("n") != self.num_buckets
+                        or marker.get("hash") != "murmur3"):
+                    paths.append(d)  # unprunable dir: read it whole
+                    continue
+                for name in sorted(os.listdir(d)):
+                    m = _PART_RE.match(name)
+                    if m is None:
+                        if name.endswith(".parquet"):
+                            # unexpected layout: read the file anyway
+                            paths.append(os.path.join(d, name))
+                        continue
+                    if int(m.group(1)) in want:
+                        paths.append(os.path.join(d, name))
+        except OSError:
+            return self.read(spark, snapshot_id)
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)
 
     def _prune_files(self, snap: Snapshot, col: str, lo, hi) -> list[str]:
         import datetime
